@@ -1,0 +1,219 @@
+"""Host-side data layer: minimal decode/batch on CPU, augmentation on TPU.
+
+Re-design of reference data.py / tf2/data.py (:31-165, :37-115).  The
+reference runs the whole augmentation stack per-example on host CPU inside
+tf.data; the TPU-native split here is:
+
+  host:   storage -> decode -> (fixed-size canvas) -> shuffle -> batch uint8
+  device: two-view crop/jitter/blur stack (ops/augment.py), fused by XLA
+
+Backends:
+  * ``synthetic``  — deterministic random tensors (tests / benchmarks; the
+    environment has no dataset archives).
+  * ``tfds:...`` or known tfds names — used when tensorflow_datasets is
+    importable and data is present (the reference's source, run.py:372-376);
+    includes the imagenet2012_subset/{1,10}pct semi-supervised splits (C18).
+  * ``npz:/path`` — local arrays {'images': uint8 (N,H,W,C), 'labels': int}.
+
+Iterators yield {'image': uint8 (B, H0, W0, C), 'label': int32 (B,)} with a
+fixed per-epoch reshuffle, sharded by host when running multi-process.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import threading
+from typing import Iterator, Optional, Tuple
+
+import numpy as np
+
+from simclr_tpu.config import Config
+
+
+@dataclasses.dataclass
+class DatasetInfo:
+    num_train_examples: int
+    num_eval_examples: int
+    num_classes: int
+    image_shape: Tuple[int, int, int]  # host canvas shape (pre device-augment)
+
+
+_CANVAS = 256  # host canvas side for large images (device crops from this)
+
+
+def _canvas_shape(config: Config) -> Tuple[int, int, int]:
+    if config.image_size <= 32:
+        return (config.image_size, config.image_size, 3)
+    # Keep a modest margin over the train crop so random crops see context.
+    side = max(_CANVAS, config.image_size)
+    return (side, side, 3)
+
+
+# ---------------------------------------------------------------------------
+# Synthetic
+# ---------------------------------------------------------------------------
+
+class SyntheticDataset:
+    """Deterministic fake data with the exact interface of the real loaders."""
+
+    def __init__(self, config: Config, is_training: bool, num_examples: int, num_classes: int = 10):
+        self.config = config
+        self.is_training = is_training
+        self.num_examples = num_examples
+        self.num_classes = num_classes
+        self.shape = _canvas_shape(config)
+        self.batch_size = config.train_batch_size if is_training else config.eval_batch_size
+
+    def __iter__(self) -> Iterator[dict]:
+        rng = np.random.RandomState(self.config.seed if self.is_training else self.config.seed + 1)
+        h, w, c = self.shape
+        while True:
+            yield {
+                "image": rng.randint(0, 256, size=(self.batch_size, h, w, c), dtype=np.uint8),
+                "label": rng.randint(0, self.num_classes, size=(self.batch_size,)).astype(np.int32),
+            }
+
+
+# ---------------------------------------------------------------------------
+# In-memory arrays (npz / tfds-materialized)
+# ---------------------------------------------------------------------------
+
+class ArrayDataset:
+    """Shuffle/repeat/batch over in-memory uint8 arrays.
+
+    Mirrors the reference pipeline structure (shuffle buffer -> repeat ->
+    batch -> drop remainder in training, data.py:133-146) but over a full
+    in-memory array, so the 'shuffle buffer' is an exact per-epoch
+    permutation.  Eval pads the final partial batch with a mask-free repeat
+    of the tail dropped at metric time via ``num_examples``.
+    """
+
+    def __init__(self, images: np.ndarray, labels: np.ndarray, batch_size: int,
+                 is_training: bool, seed: int = 0, num_parallel: int = 0):
+        assert images.dtype == np.uint8, images.dtype
+        self.images = images
+        self.labels = labels.astype(np.int32)
+        self.batch_size = batch_size
+        self.is_training = is_training
+        self.seed = seed
+        self.num_examples = len(images)
+
+    def __iter__(self) -> Iterator[dict]:
+        n, bs = self.num_examples, self.batch_size
+        if self.is_training:
+            rng = np.random.RandomState(self.seed)
+            while True:
+                perm = rng.permutation(n)
+                for i in range(0, n - bs + 1, bs):  # drop remainder
+                    idx = perm[i:i + bs]
+                    yield {"image": self.images[idx], "label": self.labels[idx]}
+        else:
+            for i in range(0, n, bs):
+                idx = np.arange(i, min(i + bs, n))
+                if len(idx) < bs:  # pad final batch (mask handled by caller)
+                    idx = np.concatenate([idx, np.zeros(bs - len(idx), np.int64)])
+                yield {"image": self.images[idx], "label": self.labels[idx]}
+
+
+# ---------------------------------------------------------------------------
+# TFDS (optional)
+# ---------------------------------------------------------------------------
+
+def _load_tfds(config: Config, is_training: bool):
+    import tensorflow_datasets as tfds  # gated import
+
+    name = config.dataset.removeprefix("tfds:")
+    builder = tfds.builder(name, data_dir=config.data_dir)
+    builder.download_and_prepare()
+    split = config.train_split if is_training else config.eval_split
+    info = builder.info
+    num = info.splits[split].num_examples
+    num_classes = info.features["label"].num_classes
+
+    h, w, c = _canvas_shape(config)
+    ds = tfds.as_numpy(builder.as_dataset(split=split, shuffle_files=is_training))
+
+    import tensorflow as tf
+
+    def gen():
+        imgs, labels = [], []
+        for ex in ds:
+            img = ex["image"]
+            if img.shape[:2] != (h, w):
+                img = tf.image.resize(img, (h, w), method="bicubic")
+                img = np.clip(img.numpy(), 0, 255).astype(np.uint8)
+            imgs.append(img)
+            labels.append(ex["label"])
+        return np.stack(imgs), np.asarray(labels)
+
+    images, labels = gen()
+    bs = config.train_batch_size if is_training else config.eval_batch_size
+    return ArrayDataset(images, labels, bs, is_training, seed=config.seed), num, num_classes
+
+
+# ---------------------------------------------------------------------------
+# Entry point
+# ---------------------------------------------------------------------------
+
+def build_dataset(config: Config, is_training: bool):
+    """Returns (iterable, DatasetInfo)."""
+    name = config.dataset
+    if name == "synthetic":
+        n_train = config.num_images_default or 4096
+        n_eval = config.num_images_default or 1024
+        num_classes = 10
+        ds = SyntheticDataset(config, is_training, n_train if is_training else n_eval, num_classes)
+        info = DatasetInfo(n_train, n_eval, num_classes, _canvas_shape(config))
+        return ds, info
+    if name.startswith("npz:"):
+        data = np.load(name[4:])
+        images, labels = data["images"], data["labels"]
+        num_classes = int(labels.max()) + 1
+        split = len(images) * 9 // 10
+        if is_training:
+            arr = ArrayDataset(images[:split], labels[:split],
+                               config.train_batch_size, True, config.seed)
+        else:
+            arr = ArrayDataset(images[split:], labels[split:],
+                               config.eval_batch_size, False, config.seed)
+        info = DatasetInfo(split, len(images) - split, num_classes, images.shape[1:])
+        return arr, info
+    # tfds path (cifar10, imagenet2012, imagenet2012_subset/1pct, ...)
+    ds, num, num_classes = _load_tfds(config, is_training)
+    n_train = num if is_training else config.num_images_default or num
+    info = DatasetInfo(
+        num if is_training else n_train, num if not is_training else 0,
+        num_classes, _canvas_shape(config),
+    )
+    return ds, info
+
+
+class Prefetcher:
+    """One-batch-ahead host prefetch thread (replaces tf.data prefetch /
+    AUTOTUNE, tf2/data.py:79-89)."""
+
+    def __init__(self, iterable, depth: int = 2):
+        import queue
+
+        self._q = queue.Queue(maxsize=depth)
+        self._it = iter(iterable)
+        self._done = object()
+
+        def worker():
+            try:
+                for item in self._it:
+                    self._q.put(item)
+            finally:
+                self._q.put(self._done)
+
+        self._thread = threading.Thread(target=worker, daemon=True)
+        self._thread.start()
+
+    def __iter__(self):
+        return self
+
+    def __next__(self):
+        item = self._q.get()
+        if item is self._done:
+            raise StopIteration
+        return item

@@ -1,0 +1,115 @@
+"""Combined SimCLR model: encoder + projection head + supervised head.
+
+Re-design of reference tf2/model.py:228-280.  Unlike the reference, the
+model is a pure function of (params, batch_stats, images) — the on-device
+blur augmentation lives in the data pipeline (ops/augment.py), not inside
+the model, so the forward pass needs no RNG in the common case.
+"""
+
+from __future__ import annotations
+
+from typing import Any, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+from flax import linen as nn
+
+from simclr_tpu.config import Config
+from simclr_tpu.models.heads import ProjectionHead, SupervisedHead
+from simclr_tpu.models.resnet import ResNet
+
+
+class SimCLRModel(nn.Module):
+    """Encoder + heads.
+
+    ``__call__`` takes images of shape (num_views * B, H, W, 3) — views are
+    stacked on the batch axis (the reference stacks on channels then splits,
+    tf2/model.py:250-259; stacking on batch up front keeps a single big conv
+    batch for the MXU and one BN statistics set over both views, which is
+    what the reference's concat achieves).
+    Returns (projection_outputs, supervised_logits_or_None).
+    """
+
+    num_classes: int
+    resnet_depth: int = 50
+    width_multiplier: int = 1
+    cifar_stem: bool = False
+    sk_ratio: float = 0.0
+    se_ratio: float = 0.0
+    bn_momentum: float = 0.9
+    proj_head_mode: str = "nonlinear"
+    proj_out_dim: int = 128
+    num_proj_layers: int = 3
+    ft_proj_selector: int = 0
+    train_mode: str = "pretrain"
+    fine_tune_after_block: int = -1
+    lineareval_while_pretraining: bool = True
+    axis_name: Optional[str] = None
+    dtype: Any = jnp.float32
+
+    @classmethod
+    def from_config(cls, config: Config, num_classes: int, axis_name: Optional[str] = None):
+        return cls(
+            num_classes=num_classes,
+            resnet_depth=config.resnet_depth,
+            width_multiplier=config.width_multiplier,
+            cifar_stem=config.image_size <= 32,
+            sk_ratio=config.sk_ratio,
+            se_ratio=config.se_ratio,
+            bn_momentum=config.batch_norm_decay,
+            proj_head_mode=config.proj_head_mode,
+            proj_out_dim=config.proj_out_dim,
+            num_proj_layers=config.num_proj_layers,
+            ft_proj_selector=config.ft_proj_selector,
+            train_mode=config.train_mode,
+            fine_tune_after_block=config.fine_tune_after_block,
+            lineareval_while_pretraining=config.lineareval_while_pretraining,
+            axis_name=axis_name,
+            dtype=jnp.bfloat16 if config.compute_dtype == "bfloat16" else jnp.float32,
+        )
+
+    @nn.compact
+    def __call__(self, images, train: bool, return_endpoints: bool = False):
+        features, endpoints = ResNet(
+            resnet_depth=self.resnet_depth,
+            width_multiplier=self.width_multiplier,
+            cifar_stem=self.cifar_stem,
+            sk_ratio=self.sk_ratio,
+            se_ratio=self.se_ratio,
+            bn_momentum=self.bn_momentum,
+            axis_name=self.axis_name,
+            train_mode=self.train_mode,
+            fine_tune_after_block=self.fine_tune_after_block,
+            dtype=self.dtype,
+            name="resnet",
+        )(images, train)
+
+        proj_out, proj_hiddens = ProjectionHead(
+            proj_head_mode=self.proj_head_mode,
+            proj_out_dim=self.proj_out_dim,
+            num_proj_layers=self.num_proj_layers,
+            bn_momentum=self.bn_momentum,
+            axis_name=self.axis_name,
+            dtype=self.dtype,
+            name="projection_head",
+        )(features, train)
+        proj_out = proj_out.astype(jnp.float32)
+        endpoints["proj_head_input"] = features
+        endpoints["proj_head_output"] = proj_out
+
+        # Supervised head input: ft_proj_selector'th projection intermediate
+        # (tf2/model.py:268-271); trained on stop-grad features during
+        # pretraining (tf2/model.py:272-278).
+        supervised_logits = None
+        if self.train_mode == "finetune" or self.lineareval_while_pretraining:
+            ft_input = proj_hiddens[self.ft_proj_selector]
+            if self.train_mode == "pretrain":
+                ft_input = jax.lax.stop_gradient(ft_input)
+            supervised_logits = SupervisedHead(
+                self.num_classes, dtype=self.dtype, name="head_supervised"
+            )(ft_input, train).astype(jnp.float32)
+            endpoints["logits_sup"] = supervised_logits
+
+        if return_endpoints:
+            return proj_out, supervised_logits, endpoints
+        return proj_out, supervised_logits

@@ -1,0 +1,416 @@
+"""On-device batched augmentation stack.
+
+TPU-native re-design of reference data_util.py / tf2/data_util.py
+(:28-518).  The reference runs per-example augmentation on host CPU through
+tf.data (the throughput bottleneck at batch 4096); here every op takes a
+batched float image tensor (B, H, W, C) in [0, 1] plus a PRNG key and runs
+on device — static shapes, elementwise VPU math, resizes expressed as two
+dense gather-matmuls (MXU), and one batched depthwise conv for blur.
+
+Behavioral parity notes (all semantics cited to the reference):
+  * random crop: tf.image.sample_distorted_bounding_box rejection sampling
+    (data_util.py:252-325) is replaced by a vectorized N-attempt sampler —
+    uniform aspect ratio in [3/4, 4/3]*target_aspect, uniform area fraction,
+    first valid attempt wins, whole image on total failure, with
+    min_object_covered=0.1 enforced as coverage of the whole-image bbox.
+  * bicubic resize: half-pixel-centers Keys cubic (A=-0.5), identical
+    convention to tf.image.resize(BICUBIC) used at data_util.py:247,325.
+  * color ops match tf.image: HSV-based saturation/hue, per-channel mean
+    contrast, multiplicative (v2) or additive (v1) brightness, random
+    4-permutation application order with clip after each op
+    (tf2/data_util.py:120-173).
+  * blur: separable gaussian, kernel = height//10, sigma ~ U[0.1, 2] per
+    image, per-image on/off selector at p=0.5 (tf2/data_util.py:413-441).
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+
+CROP_PROPORTION = 0.875  # data_util.py:25 — standard ImageNet eval crop.
+
+
+# ---------------------------------------------------------------------------
+# Color-space helpers (tf.image.rgb_to_hsv / hsv_to_rgb semantics)
+# ---------------------------------------------------------------------------
+
+def rgb_to_hsv(rgb):
+    r, g, b = rgb[..., 0], rgb[..., 1], rgb[..., 2]
+    maxc = jnp.maximum(jnp.maximum(r, g), b)
+    minc = jnp.minimum(jnp.minimum(r, g), b)
+    v = maxc
+    delta = maxc - minc
+    safe_delta = jnp.where(delta > 0, delta, 1.0)
+    s = jnp.where(maxc > 0, delta / jnp.where(maxc > 0, maxc, 1.0), 0.0)
+    rc = (maxc - r) / safe_delta
+    gc = (maxc - g) / safe_delta
+    bc = (maxc - b) / safe_delta
+    h = jnp.where(
+        maxc == r, bc - gc, jnp.where(maxc == g, 2.0 + rc - bc, 4.0 + gc - rc)
+    )
+    h = (h / 6.0) % 1.0
+    h = jnp.where(delta > 0, h, 0.0)
+    return jnp.stack([h, s, v], axis=-1)
+
+
+def hsv_to_rgb(hsv):
+    h, s, v = hsv[..., 0], hsv[..., 1], hsv[..., 2]
+    i = jnp.floor(h * 6.0)
+    f = h * 6.0 - i
+    p = v * (1.0 - s)
+    q = v * (1.0 - s * f)
+    t = v * (1.0 - s * (1.0 - f))
+    i = i.astype(jnp.int32) % 6
+    r = jnp.select([i == 0, i == 1, i == 2, i == 3, i == 4, i == 5], [v, q, p, p, t, v])
+    g = jnp.select([i == 0, i == 1, i == 2, i == 3, i == 4, i == 5], [t, v, v, q, p, p])
+    b = jnp.select([i == 0, i == 1, i == 2, i == 3, i == 4, i == 5], [p, p, t, v, v, q])
+    return jnp.stack([r, g, b], axis=-1)
+
+
+def rgb_to_grayscale(image, keep_channels: bool = True):
+    """ITU-R 601 luma, tf.image.rgb_to_grayscale weights (data_util.py:54-58)."""
+    gray = (
+        0.2989 * image[..., 0:1] + 0.587 * image[..., 1:2] + 0.114 * image[..., 2:3]
+    )
+    if keep_channels:
+        gray = jnp.repeat(gray, 3, axis=-1)
+    return gray
+
+
+# ---------------------------------------------------------------------------
+# Per-image color ops; each takes (image, key) and is vmapped over the batch
+# ---------------------------------------------------------------------------
+
+def random_brightness(image, key, max_delta, impl="simclrv2"):
+    """Multiplicative (v2) vs additive (v1) brightness (data_util.py:41-56)."""
+    if impl == "simclrv2":
+        factor = jax.random.uniform(key, (), minval=max(1.0 - max_delta, 0.0), maxval=1.0 + max_delta)
+        return image * factor
+    elif impl == "simclrv1":
+        delta = jax.random.uniform(key, (), minval=-max_delta, maxval=max_delta)
+        return image + delta
+    raise ValueError(f"Unknown impl {impl} for random brightness.")
+
+
+def random_contrast(image, key, lower, upper):
+    """tf.image.random_contrast: scale around per-channel spatial mean."""
+    factor = jax.random.uniform(key, (), minval=lower, maxval=upper)
+    mean = jnp.mean(image, axis=(-3, -2), keepdims=True)
+    return (image - mean) * factor + mean
+
+
+def random_saturation(image, key, lower, upper):
+    """tf.image.random_saturation: scale S channel in HSV, clip to [0,1]."""
+    factor = jax.random.uniform(key, (), minval=lower, maxval=upper)
+    hsv = rgb_to_hsv(jnp.clip(image, 0.0, 1.0))
+    hsv = hsv.at[..., 1].set(jnp.clip(hsv[..., 1] * factor, 0.0, 1.0))
+    return hsv_to_rgb(hsv)
+
+
+def random_hue(image, key, max_delta):
+    """tf.image.random_hue: rotate H channel in HSV."""
+    delta = jax.random.uniform(key, (), minval=-max_delta, maxval=max_delta)
+    hsv = rgb_to_hsv(jnp.clip(image, 0.0, 1.0))
+    hsv = hsv.at[..., 0].set((hsv[..., 0] + delta) % 1.0)
+    return hsv_to_rgb(hsv)
+
+
+def _color_jitter_rand_single(image, key, brightness, contrast, saturation, hue, impl):
+    """Random-order jitter for one image (tf2/data_util.py:120-173)."""
+    perm_key, *op_keys = jax.random.split(key, 5)
+    perm = jax.random.permutation(perm_key, 4)
+
+    def make_branches(k):
+        return [
+            lambda x: random_brightness(x, k, brightness, impl) if brightness else x,
+            lambda x: random_contrast(x, k, 1.0 - contrast, 1.0 + contrast) if contrast else x,
+            lambda x: random_saturation(x, k, 1.0 - saturation, 1.0 + saturation) if saturation else x,
+            lambda x: random_hue(x, k, hue) if hue else x,
+        ]
+
+    for i in range(4):
+        branches = make_branches(op_keys[i])
+        image = jax.lax.switch(perm[i], branches, image)
+        image = jnp.clip(image, 0.0, 1.0)
+    return image
+
+
+def _color_jitter_nonrand_single(image, key, brightness, contrast, saturation, hue, impl):
+    """Fixed-order jitter (tf2/data_util.py:79-117)."""
+    k0, k1, k2, k3 = jax.random.split(key, 4)
+    if brightness:
+        image = jnp.clip(random_brightness(image, k0, brightness, impl), 0.0, 1.0)
+    if contrast:
+        image = jnp.clip(random_contrast(image, k1, 1.0 - contrast, 1.0 + contrast), 0.0, 1.0)
+    if saturation:
+        image = jnp.clip(random_saturation(image, k2, 1.0 - saturation, 1.0 + saturation), 0.0, 1.0)
+    if hue:
+        image = jnp.clip(random_hue(image, k3, hue), 0.0, 1.0)
+    return image
+
+
+def color_jitter(images, key, strength, random_order=True, impl="simclrv2"):
+    """Batched color jitter (tf2/data_util.py:52-77): strengths
+    0.8/0.8/0.8/0.2 x strength."""
+    b, c, s, h = 0.8 * strength, 0.8 * strength, 0.8 * strength, 0.2 * strength
+    fn = _color_jitter_rand_single if random_order else _color_jitter_nonrand_single
+    keys = jax.random.split(key, images.shape[0])
+    return jax.vmap(lambda im, k: fn(im, k, b, c, s, h, impl))(images, keys)
+
+
+# ---------------------------------------------------------------------------
+# Crop + resize
+# ---------------------------------------------------------------------------
+
+def resize_bicubic(images, height, width):
+    """Batched bicubic resize with TF half-pixel-centers semantics."""
+    b, h0, w0, c = images.shape
+    return jax.image.resize(images, (b, height, width, c), method="cubic")
+
+
+def _crop_resize_one(image, box, height, width):
+    """Crop ``box`` = (y0, x0, ch, cw) in pixels and resize to (height,
+    width) with bicubic sampling.  Expressed via scale_and_translate so the
+    gather weights become two small dense matmuls on the MXU; box coords may
+    be traced values (per-image randomness under one compiled kernel)."""
+    y0, x0, ch, cw = box
+    scale = jnp.array([height / ch, width / cw], jnp.float32)
+    translation = -scale * jnp.array([y0, x0], jnp.float32)
+    return jax.image.scale_and_translate(
+        image, (height, width, image.shape[-1]), (0, 1, 2),
+        jnp.concatenate([scale, jnp.ones((1,), jnp.float32)]),
+        jnp.concatenate([translation, jnp.zeros((1,), jnp.float32)]),
+        method="cubic",
+    )
+
+
+def sample_distorted_box(
+    key,
+    image_height: int,
+    image_width: int,
+    aspect_ratio_range: Tuple[float, float],
+    area_range: Tuple[float, float],
+    min_object_covered: float = 0.1,
+    max_attempts: int = 16,
+):
+    """Vectorized analogue of tf.image.sample_distorted_bounding_box with a
+    whole-image bbox (data_util.py:285-293).
+
+    Draws ``max_attempts`` candidate boxes at once; picks the first whose
+    size fits in the image and whose area covers >= min_object_covered of
+    the image; falls back to the whole image.  Returns float (y0, x0, h, w).
+    """
+    k_ar, k_area, k_y, k_x = jax.random.split(key, 4)
+    area = float(image_height * image_width)
+    ar = jax.random.uniform(
+        k_ar, (max_attempts,), minval=aspect_ratio_range[0], maxval=aspect_ratio_range[1]
+    )
+    frac = jax.random.uniform(
+        k_area, (max_attempts,), minval=area_range[0], maxval=area_range[1]
+    )
+    target_area = frac * area
+    # width/height from area and aspect ratio (ar = w / h).
+    w = jnp.round(jnp.sqrt(target_area * ar))
+    h = jnp.round(jnp.sqrt(target_area / ar))
+    valid = (
+        (w <= image_width) & (h <= image_height)
+        & (w * h >= min_object_covered * area)
+        & (w > 0) & (h > 0)
+    )
+    idx = jnp.argmax(valid)  # first True (argmax returns first max)
+    any_valid = jnp.any(valid)
+    h_sel = jnp.where(any_valid, h[idx], float(image_height))
+    w_sel = jnp.where(any_valid, w[idx], float(image_width))
+    u_y = jax.random.uniform(k_y, ())
+    u_x = jax.random.uniform(k_x, ())
+    y0 = jnp.floor(u_y * (image_height - h_sel + 1.0))
+    x0 = jnp.floor(u_x * (image_width - w_sel + 1.0))
+    return y0, x0, h_sel, w_sel
+
+
+def crop_and_resize(images, key, height, width):
+    """Batched random distorted crop + bicubic resize (data_util.py:303-325)."""
+    b, h0, w0, _ = images.shape
+    aspect = width / height
+    keys = jax.random.split(key, b)
+
+    def one(image, k):
+        box = sample_distorted_box(
+            k, h0, w0,
+            aspect_ratio_range=(3.0 / 4 * aspect, 4.0 / 3 * aspect),
+            area_range=(0.08, 1.0),
+            min_object_covered=0.1,
+        )
+        return _crop_resize_one(image, box, height, width)
+
+    return jax.vmap(one)(images, keys)
+
+
+def center_crop(images, height, width, crop_proportion=CROP_PROPORTION):
+    """Batched deterministic center crop + bicubic resize
+    (tf2/data_util.py:175-244).  All shapes static -> resolved at trace time."""
+    b, image_height, image_width, c = images.shape
+    aspect_ratio = width / height
+    if aspect_ratio > image_width / image_height:
+        crop_height = int(round(crop_proportion / aspect_ratio * image_width))
+        crop_width = int(round(crop_proportion * image_width))
+    else:
+        crop_height = int(round(crop_proportion * image_height))
+        crop_width = int(round(crop_proportion * aspect_ratio * image_height))
+    offset_height = ((image_height - crop_height) + 1) // 2
+    offset_width = ((image_width - crop_width) + 1) // 2
+    crop = images[:, offset_height:offset_height + crop_height,
+                  offset_width:offset_width + crop_width, :]
+    return resize_bicubic(crop, height, width)
+
+
+# ---------------------------------------------------------------------------
+# Flip / blur
+# ---------------------------------------------------------------------------
+
+def random_flip_left_right(images, key):
+    """Per-image horizontal flip with p=0.5."""
+    b = images.shape[0]
+    flip = jax.random.bernoulli(key, 0.5, (b, 1, 1, 1))
+    return jnp.where(flip, images[:, :, ::-1, :], images)
+
+
+def gaussian_blur(images, sigmas, kernel_size: int):
+    """Separable gaussian blur with a *per-image* sigma, one depthwise conv.
+
+    Reference applies one sigma per image via tf.nn.depthwise_conv2d
+    (data_util.py:328-366).  Batched trick: fold the batch dim into the
+    channel dim so every (image, channel) pair gets its own 1D kernel —
+    two conv calls total for the whole batch.
+    """
+    b, h, w, c = images.shape
+    radius = int(kernel_size) // 2
+    ksize = 2 * radius + 1
+    x = jnp.arange(-radius, radius + 1, dtype=jnp.float32)  # (ksize,)
+    # (B, ksize) kernels, normalized.
+    kern = jnp.exp(-(x[None, :] ** 2) / (2.0 * (sigmas[:, None] ** 2)))
+    kern = kern / jnp.sum(kern, axis=1, keepdims=True)
+    # Fold batch into channels: (1, H, W, B*C).
+    imgs = jnp.transpose(images, (1, 2, 0, 3)).reshape(1, h, w, b * c)
+    # Depthwise filters: (kh, kw, B*C, 1).
+    kern_bc = jnp.repeat(kern, c, axis=0)  # (B*C, ksize)
+    blur_h = kern_bc.T.reshape(1, ksize, b * c, 1)
+    blur_v = kern_bc.T.reshape(ksize, 1, b * c, 1)
+    out = jax.lax.conv_general_dilated(
+        imgs, blur_h, (1, 1), "SAME", feature_group_count=b * c,
+        dimension_numbers=("NHWC", "HWIO", "NHWC"),
+    )
+    out = jax.lax.conv_general_dilated(
+        out, blur_v, (1, 1), "SAME", feature_group_count=b * c,
+        dimension_numbers=("NHWC", "HWIO", "NHWC"),
+    )
+    return jnp.transpose(out.reshape(h, w, b, c), (2, 0, 1, 3))
+
+
+def batch_random_blur(images_list, key, height, width, blur_probability=0.5):
+    """Per-image random-sigma blur + on/off selector
+    (tf2/data_util.py:413-441)."""
+    out = []
+    for i, images in enumerate(images_list):
+        k_sigma, k_sel = jax.random.split(jax.random.fold_in(key, i))
+        b = images.shape[0]
+        sigmas = jax.random.uniform(k_sigma, (b,), minval=0.1, maxval=2.0)
+        blurred = gaussian_blur(images, sigmas, kernel_size=height // 10)
+        selector = jax.random.bernoulli(k_sel, blur_probability, (b, 1, 1, 1))
+        images = jnp.where(selector, blurred, images)
+        out.append(jnp.clip(images, 0.0, 1.0))
+    return out
+
+
+# ---------------------------------------------------------------------------
+# random_apply + full preprocessing pipelines
+# ---------------------------------------------------------------------------
+
+def batched_random_apply(fn, p, images, key):
+    """Per-image stochastic application (data_util.py:32-38): computes
+    fn(images) for the whole batch and selects per image — on TPU both
+    branches are cheaper than divergence."""
+    k_gate, k_fn = jax.random.split(key)
+    applied = fn(images, k_fn)
+    gate = jax.random.bernoulli(k_gate, p, (images.shape[0], 1, 1, 1))
+    return jnp.where(gate, applied, images)
+
+
+def random_crop_with_resize(images, key, height, width, p=1.0):
+    """tf2/data_util.py:364-380."""
+    return batched_random_apply(
+        lambda im, k: crop_and_resize(im, k, height, width), p, images, key
+    )
+
+
+def random_color_jitter(images, key, p=1.0, strength=1.0, impl="simclrv2"):
+    """tf2/data_util.py:383-391: jitter at p=0.8, grayscale at p=0.2,
+    everything gated at p."""
+    def _transform(ims, k):
+        k1, k2 = jax.random.split(k)
+        ims = batched_random_apply(
+            lambda x, kk: color_jitter(x, kk, strength=strength, impl=impl), 0.8, ims, k1
+        )
+        return batched_random_apply(
+            lambda x, kk: rgb_to_grayscale(x), 0.2, ims, k2
+        )
+    return batched_random_apply(_transform, p, images, key)
+
+
+def preprocess_for_train(
+    images, key, height, width,
+    color_jitter_strength=0.0, crop=True, flip=True, impl="simclrv2",
+):
+    """Batched train-time preprocessing (tf2/data_util.py:444-479)."""
+    k_crop, k_flip, k_jitter = jax.random.split(key, 3)
+    if crop:
+        images = random_crop_with_resize(images, k_crop, height, width)
+    if flip:
+        images = random_flip_left_right(images, k_flip)
+    if color_jitter_strength > 0:
+        images = random_color_jitter(images, k_jitter, strength=color_jitter_strength, impl=impl)
+    return jnp.clip(images, 0.0, 1.0)
+
+
+def preprocess_for_eval(images, height, width, crop=True):
+    """tf2/data_util.py:482-497."""
+    if crop:
+        images = center_crop(images, height, width, CROP_PROPORTION)
+    return jnp.clip(images, 0.0, 1.0)
+
+
+def preprocess_image(
+    images, key, height, width,
+    is_training=False, color_jitter_strength=0.0, test_crop=True,
+):
+    """Batched analogue of data_util.py:499-519; expects float [0,1] or uint8."""
+    if images.dtype == jnp.uint8:
+        images = images.astype(jnp.float32) / 255.0
+    if is_training:
+        return preprocess_for_train(images, key, height, width, color_jitter_strength)
+    return preprocess_for_eval(images, height, width, test_crop)
+
+
+def two_view_pretrain_batch(
+    images, key, height, width, color_jitter_strength=1.0,
+    use_blur=True, impl="simclrv2",
+):
+    """Generate the two augmented views for pretraining, fully on device.
+
+    Returns (2B, H, W, 3) with views stacked on the batch axis (view a =
+    rows [0, B), view b = rows [B, 2B)), matching the model's expectation
+    and the reference's channel-concat + split + batch-concat dance
+    (tf2/data.py:52-62, tf2/model.py:250-259) in one shot.
+    """
+    if images.dtype == jnp.uint8:
+        images = images.astype(jnp.float32) / 255.0
+    k1, k2, k_blur = jax.random.split(key, 3)
+    view_a = preprocess_for_train(images, k1, height, width, color_jitter_strength, impl=impl)
+    view_b = preprocess_for_train(images, k2, height, width, color_jitter_strength, impl=impl)
+    if use_blur:
+        view_a, view_b = batch_random_blur([view_a, view_b], k_blur, height, width)
+    return jnp.concatenate([view_a, view_b], axis=0)

@@ -1,0 +1,84 @@
+"""Device mesh + sharding policy.
+
+Replaces the reference's TPU cluster bring-up (run.py:391-399,
+tf2/run.py:491-502 — TPUClusterResolver / initialize_tpu_system /
+CrossShardOptimizer) with the JAX-native stack: ``jax.distributed`` for
+multi-host, a ``jax.sharding.Mesh`` over ICI, and GSPMD propagation from
+``NamedSharding`` annotations.  Gradient all-reduce, sync-BN statistics and
+the NT-Xent all-gather all come out of the partitioner as XLA collectives
+over the 'data' axis (SURVEY.md §2.3 N1-N4).
+
+Optional ZeRO/FSDP-style parameter sharding over the same axis for the
+large encoders (R152-3x+SK = 795M params does not want 8 full replicas in
+HBM at big batch): parameters whose largest dim divides the axis size are
+sharded on it; everything else stays replicated.
+"""
+
+from __future__ import annotations
+
+import os
+from typing import Optional
+
+import jax
+import numpy as np
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+from simclr_tpu.config import Config
+
+DATA_AXIS = "data"
+
+
+def maybe_initialize_distributed():
+    """Multi-host bring-up (reference N4).  No-op for single-process."""
+    if int(os.environ.get("SIMCLR_TPU_NUM_PROCESSES", "1")) > 1:
+        jax.distributed.initialize()
+
+
+def create_mesh(config: Optional[Config] = None, devices=None) -> Mesh:
+    """Build the device mesh.  Default: 1-D mesh over all devices on the
+    'data' axis (pure DP, the reference's only strategy — SURVEY.md §2.2)."""
+    devices = devices if devices is not None else jax.devices()
+    if config is not None and config.mesh_shape:
+        shape = tuple(int(x) for x in str(config.mesh_shape).split(","))
+    else:
+        shape = (len(devices),)
+    if int(np.prod(shape)) != len(devices):
+        raise ValueError(f"mesh_shape {shape} does not match {len(devices)} devices")
+    axis_names = (DATA_AXIS,) if len(shape) == 1 else (DATA_AXIS, "model")[: len(shape)]
+    return Mesh(np.asarray(devices).reshape(shape), axis_names)
+
+
+def batch_sharding(mesh: Mesh) -> NamedSharding:
+    return NamedSharding(mesh, P(DATA_AXIS))
+
+
+def replicated_sharding(mesh: Mesh) -> NamedSharding:
+    return NamedSharding(mesh, P())
+
+
+def fsdp_spec(leaf, axis_size: int) -> P:
+    """PartitionSpec for one param under FSDP: shard the largest dim that
+    divides the data-axis size; replicate otherwise."""
+    shape = getattr(leaf, "shape", ())
+    if not shape or max(shape) < 1024:  # small params aren't worth sharding
+        return P()
+    dims = sorted(range(len(shape)), key=lambda i: -shape[i])
+    for d in dims:
+        if shape[d] % axis_size == 0 and shape[d] >= axis_size:
+            spec = [None] * len(shape)
+            spec[d] = DATA_AXIS
+            return P(*spec)
+    return P()
+
+
+def state_shardings(mesh: Mesh, state, fsdp: bool = False):
+    """Sharding pytree for a TrainState: params/opt-state replicated (or
+    FSDP-sharded), scalars replicated."""
+    axis_size = mesh.shape[DATA_AXIS]
+
+    def leaf_sharding(leaf):
+        if fsdp:
+            return NamedSharding(mesh, fsdp_spec(leaf, axis_size))
+        return NamedSharding(mesh, P())
+
+    return jax.tree.map(leaf_sharding, state)
