@@ -1,0 +1,85 @@
+"""Benchmark: ResNet-50 SimCLR pretrain images/sec/chip on real hardware.
+
+Measures the full fused train step — on-device two-view augmentation +
+forward/backward + NT-Xent + LARS — at the reference's per-chip batch
+(global 4096 over 32 chips => 128/chip, README.md:109).
+
+Baseline: TF2 reference, R50 batch-4096 pretrain on TPU v3 = 100 epochs of
+ImageNet (1.28M images) in ~6 h on 32 cores ≈ 185 images/sec/chip
+(README.md:109).  Prints one JSON line with vs_baseline against that.
+"""
+
+import json
+import time
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+BASELINE_IMAGES_PER_SEC_PER_CHIP = 185.0  # TF2 reference on TPU v3 (README.md:109)
+
+
+def main():
+    from simclr_tpu.config import Config
+    from simclr_tpu.optim.builder import masked, trainable_mask
+    from simclr_tpu.parallel import mesh as mesh_lib
+    from simclr_tpu.training import trainer
+    from simclr_tpu.training.steps import make_train_step
+
+    n_chips = len(jax.devices())
+    per_chip_batch = 128
+    batch = per_chip_batch * n_chips
+
+    config = Config(
+        dataset="synthetic",
+        num_images_default=1281167,
+        image_size=224,
+        resnet_depth=50,
+        train_batch_size=batch,
+        warmup_epochs=10,
+        optimizer="lars",
+        learning_rate=0.3,
+        compute_dtype="bfloat16",
+        use_blur=True,
+        color_jitter_strength=1.0,
+        train_mode="pretrain",
+    )
+    mesh = mesh_lib.create_mesh(config)
+    model, tx, lr_fn = trainer.build_model_and_optimizer(config, 1281167, 1000)
+    state = trainer.init_state(config, model, tx, mesh, (256, 256, 3))
+    mask = trainable_mask(config, state.params)
+    step_fn = jax.jit(make_train_step(config, model, masked(tx, mask), lr_fn),
+                      donate_argnums=(0,))
+
+    rng = np.random.RandomState(0)
+    batch_np = {
+        "image": rng.randint(0, 256, size=(batch, 256, 256, 3), dtype=np.uint8),
+        "label": rng.randint(0, 1000, size=(batch,)).astype(np.int32),
+    }
+    sharding = mesh_lib.batch_sharding(mesh)
+    device_batch = {k: jax.device_put(v, sharding) for k, v in batch_np.items()}
+    base_rng = jax.random.PRNGKey(0)
+
+    # Warmup / compile.
+    state, metrics = step_fn(state, device_batch, base_rng)
+    jax.block_until_ready(metrics["train/total_loss"])
+
+    steps = 20
+    t0 = time.perf_counter()
+    for _ in range(steps):
+        state, metrics = step_fn(state, device_batch, base_rng)
+    jax.block_until_ready(metrics["train/total_loss"])
+    dt = time.perf_counter() - t0
+
+    images_per_sec = steps * batch / dt
+    per_chip = images_per_sec / n_chips
+    print(json.dumps({
+        "metric": "resnet50_pretrain_images_per_sec_per_chip",
+        "value": round(per_chip, 2),
+        "unit": "images/sec/chip",
+        "vs_baseline": round(per_chip / BASELINE_IMAGES_PER_SEC_PER_CHIP, 3),
+    }))
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,184 @@
+"""TF-checkpoint import shim (reference N11).
+
+The released SimCLR checkpoints (reference README.md:35-44, 65 families)
+use TF1 graph-mode auto-naming: ``base_model/conv2d_<i>/kernel``,
+``base_model/batch_normalization_<i>/{gamma,beta,moving_mean,
+moving_variance}`` (numbered in graph-build order inside the 'base_model'
+scope, model.py:61), ``head_contrastive/nl_<j>/{dense,batch_normalization}``
+(model_util.py:129-177) and ``head_supervised/linear_layer/dense``
+(model_util.py:180-187).
+
+This module reconstructs that naming by walking THIS framework's
+architecture in the reference's graph-build order (stem -> per group ->
+[projection, conv stack, SK mixing, SE] per block) and maps every TF name
+to a flax param/batch_stats path, so released checkpoints load directly
+into the JAX model.  Conv kernels are HWIO in both worlds; dense kernels
+are (in, out) in both; BN gamma/beta -> scale/bias, moving stats ->
+batch_stats.
+"""
+
+from __future__ import annotations
+
+from typing import Dict, List, Tuple
+
+import numpy as np
+
+from simclr_tpu.config import Config
+from simclr_tpu.models.resnet import MODEL_PARAMS
+
+Path = Tuple[str, ...]
+
+
+class _TF1Namer:
+    """Reproduces tf.layers auto-numbering within one variable scope."""
+
+    def __init__(self):
+        self.counts: Dict[str, int] = {}
+
+    def next(self, base: str) -> str:
+        n = self.counts.get(base, 0)
+        self.counts[base] = n + 1
+        return base if n == 0 else f"{base}_{n}"
+
+
+def tf1_variable_map(config: Config) -> Dict[str, Tuple[str, Path]]:
+    """Returns {tf1_var_name: (collection, flax_path)} where collection is
+    'params' or 'batch_stats'.
+
+    Walk order mirrors the TF1 graph build (resnet.py:565-679 + block fns at
+    resnet.py:340-530): convs and BNs are interleaved exactly as called.
+    """
+    depth = config.resnet_depth
+    block_type, layers = MODEL_PARAMS[depth]
+    sk = config.sk_ratio > 0
+    se = config.se_ratio > 0
+    cifar = config.image_size <= 32
+
+    namer = _TF1Namer()
+    out: Dict[str, Tuple[str, Path]] = {}
+
+    def add_conv(path_prefix: Path, use_bias: bool = False):
+        name = namer.next("conv2d")
+        out[f"base_model/{name}/kernel"] = ("params", path_prefix + ("kernel",))
+        if use_bias:
+            out[f"base_model/{name}/bias"] = ("params", path_prefix + ("bias",))
+
+    def add_bn(path_prefix: Path, center: bool = True):
+        name = namer.next("batch_normalization")
+        out[f"base_model/{name}/gamma"] = ("params", path_prefix + ("scale",))
+        if center:
+            out[f"base_model/{name}/beta"] = ("params", path_prefix + ("bias",))
+        out[f"base_model/{name}/moving_mean"] = ("batch_stats", path_prefix + ("mean",))
+        out[f"base_model/{name}/moving_variance"] = ("batch_stats", path_prefix + ("var",))
+
+    R = ("resnet",)
+
+    # --- stem (resnet.py:565-597) ---
+    if cifar:
+        add_conv(R + ("initial_conv", "conv2d"))
+        add_bn(R + ("initial_bn", "batch_norm"))
+    elif sk:
+        add_conv(R + ("initial_conv_0", "conv2d"))
+        add_bn(R + ("initial_bn_0", "batch_norm"))
+        add_conv(R + ("initial_conv_1", "conv2d"))
+        add_bn(R + ("initial_bn_1", "batch_norm"))
+        add_conv(R + ("initial_conv_2", "conv2d"))
+        add_bn(R + ("initial_bn", "batch_norm"))
+    else:
+        add_conv(R + ("initial_conv", "conv2d"))
+        add_bn(R + ("initial_bn", "batch_norm"))
+
+    # --- block groups (resnet.py:626-664) ---
+    for g in range(4):
+        for b in range(layers[g]):
+            B = R + (f"block_group{g + 1}", f"block_{b}")
+            use_projection = b == 0
+            if use_projection:
+                add_conv(B + ("proj_conv", "conv2d"))
+                add_bn(B + ("proj_bn", "batch_norm"))
+            if block_type == "residual":
+                add_conv(B + ("conv_0", "conv2d"))
+                add_bn(B + ("bn_0", "batch_norm"))
+                add_conv(B + ("conv_1", "conv2d"))
+                add_bn(B + ("bn_1", "batch_norm"))
+            else:
+                add_conv(B + ("conv_0", "conv2d"))
+                add_bn(B + ("bn_0", "batch_norm"))
+                if sk:
+                    S = B + ("sk_conv2d",)
+                    add_conv(S + ("conv2d_fixed_padding", "conv2d"))
+                    add_bn(S + ("batch_norm_relu", "batch_norm"))
+                    add_conv(S + ("conv2d_0",), use_bias=False)
+                    add_bn(S + ("batch_norm_relu_1", "batch_norm"))
+                    add_conv(S + ("conv2d_1",), use_bias=False)
+                else:
+                    add_conv(B + ("conv_1", "conv2d"))
+                    add_bn(B + ("bn_1", "batch_norm"))
+                add_conv(B + ("conv_2", "conv2d"))
+                add_bn(B + ("bn_2", "batch_norm"))
+            if se:
+                add_conv(B + ("se", "se_reduce"), use_bias=True)
+                add_conv(B + ("se", "se_expand"), use_bias=True)
+
+    # --- projection head (model_util.py:141-177) ---
+    def add_head_bn(scope: str, path_prefix: Path, center: bool):
+        out[f"{scope}/batch_normalization/gamma"] = ("params", path_prefix + ("scale",))
+        if center:
+            out[f"{scope}/batch_normalization/beta"] = ("params", path_prefix + ("bias",))
+        out[f"{scope}/batch_normalization/moving_mean"] = ("batch_stats", path_prefix + ("mean",))
+        out[f"{scope}/batch_normalization/moving_variance"] = ("batch_stats", path_prefix + ("var",))
+
+    P = ("projection_head",)
+    if config.proj_head_mode == "linear":
+        out["head_contrastive/l_0/dense/kernel"] = ("params", P + ("l_0", "dense", "kernel"))
+        add_head_bn("head_contrastive/l_0", P + ("l_0", "bn_relu", "batch_norm"), center=False)
+    elif config.proj_head_mode == "nonlinear":
+        for j in range(config.num_proj_layers):
+            mid = j != config.num_proj_layers - 1
+            nl = f"nl_{j}"
+            out[f"head_contrastive/{nl}/dense/kernel"] = ("params", P + (nl, "dense", "kernel"))
+            add_head_bn(f"head_contrastive/{nl}", P + (nl, "bn_relu", "batch_norm"), center=mid)
+
+    # --- supervised head (model_util.py:180-187) ---
+    H = ("head_supervised", "linear_layer")
+    out["head_supervised/linear_layer/dense/kernel"] = ("params", H + ("dense", "kernel"))
+    out["head_supervised/linear_layer/dense/bias"] = ("params", H + ("dense", "bias"))
+
+    return out
+
+
+def _set_in(tree: dict, path: Path, value):
+    node = tree
+    for p in path[:-1]:
+        node = node.setdefault(p, {})
+    node[path[-1]] = value
+
+
+def load_tf_checkpoint(ckpt_path: str) -> Dict[str, np.ndarray]:
+    """Read all variables of a TF checkpoint into numpy (requires tf)."""
+    import tensorflow as tf
+
+    reader = tf.train.load_checkpoint(ckpt_path)
+    shapes = reader.get_variable_to_shape_map()
+    return {name: reader.get_tensor(name) for name in shapes}
+
+
+def import_tf_checkpoint(config: Config, ckpt_path: str,
+                         strict: bool = True) -> Tuple[dict, dict]:
+    """Load a released TF SimCLR checkpoint into (params, batch_stats) trees
+    matching this framework's model structure."""
+    tf_vars = load_tf_checkpoint(ckpt_path)
+    mapping = tf1_variable_map(config)
+    params: dict = {}
+    batch_stats: dict = {}
+    missing: List[str] = []
+    for tf_name, (collection, path) in mapping.items():
+        if tf_name not in tf_vars:
+            missing.append(tf_name)
+            continue
+        value = np.asarray(tf_vars[tf_name])
+        _set_in(params if collection == "params" else batch_stats, path, value)
+    if strict and missing:
+        raise KeyError(f"{len(missing)} mapped variables absent from checkpoint, "
+                       f"e.g. {missing[:5]}")
+    return params, batch_stats

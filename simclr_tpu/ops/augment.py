@@ -167,9 +167,12 @@ def color_jitter(images, key, strength, random_order=True, impl="simclrv2"):
 # ---------------------------------------------------------------------------
 
 def resize_bicubic(images, height, width):
-    """Batched bicubic resize with TF half-pixel-centers semantics."""
+    """Batched bicubic resize with TF half-pixel-centers semantics.
+
+    antialias=False matches tf.image.resize(..., BICUBIC) defaults used
+    throughout the reference (data_util.py:247,325)."""
     b, h0, w0, c = images.shape
-    return jax.image.resize(images, (b, height, width, c), method="cubic")
+    return jax.image.resize(images, (b, height, width, c), method="cubic", antialias=False)
 
 
 def _crop_resize_one(image, box, height, width):
@@ -184,7 +187,7 @@ def _crop_resize_one(image, box, height, width):
         image, (height, width, image.shape[-1]), (0, 1, 2),
         jnp.concatenate([scale, jnp.ones((1,), jnp.float32)]),
         jnp.concatenate([translation, jnp.zeros((1,), jnp.float32)]),
-        method="cubic",
+        method="cubic", antialias=False,
     )
 
 
@@ -296,10 +299,10 @@ def gaussian_blur(images, sigmas, kernel_size: int):
     kern = kern / jnp.sum(kern, axis=1, keepdims=True)
     # Fold batch into channels: (1, H, W, B*C).
     imgs = jnp.transpose(images, (1, 2, 0, 3)).reshape(1, h, w, b * c)
-    # Depthwise filters: (kh, kw, B*C, 1).
+    # Depthwise filters, HWIO with feature_group_count=B*C: (kh, kw, 1, B*C).
     kern_bc = jnp.repeat(kern, c, axis=0)  # (B*C, ksize)
-    blur_h = kern_bc.T.reshape(1, ksize, b * c, 1)
-    blur_v = kern_bc.T.reshape(ksize, 1, b * c, 1)
+    blur_h = kern_bc.T.reshape(1, ksize, 1, b * c)
+    blur_v = kern_bc.T.reshape(ksize, 1, 1, b * c)
     out = jax.lax.conv_general_dilated(
         imgs, blur_h, (1, 1), "SAME", feature_group_count=b * c,
         dimension_numbers=("NHWC", "HWIO", "NHWC"),

@@ -1,0 +1,101 @@
+"""Checkpoint / restore / warm-start surgery (reference C15).
+
+Orbax-backed replacement for run.py:388-411 / tf2/run.py:308-337:
+  * periodic save with keep-max GC,
+  * resume-latest (full state: params + batch_stats + optimizer + step),
+  * warm-start from --checkpoint: model weights only, filtered by the
+    --variable_schema regex (model.py:162-168), optional zero-init of the
+    supervised head (model.py:170-183 / tf2/run.py:435-463).
+"""
+
+from __future__ import annotations
+
+import re
+from typing import Any, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import orbax.checkpoint as ocp
+
+from simclr_tpu.config import Config
+from simclr_tpu.optim.lars import param_path_strings
+from simclr_tpu.training.state import TrainState
+
+
+def create_manager(model_dir: str, keep_max: int = 5) -> ocp.CheckpointManager:
+    options = ocp.CheckpointManagerOptions(max_to_keep=keep_max, create=True)
+    return ocp.CheckpointManager(model_dir, options=options)
+
+
+def save(manager: ocp.CheckpointManager, state: TrainState):
+    step = int(jax.device_get(state.step))
+    manager.save(step, args=ocp.args.StandardSave(jax.device_get(
+        {"params": state.params, "batch_stats": state.batch_stats,
+         "opt_state": state.opt_state, "step": state.step}
+    )))
+    manager.wait_until_finished()
+
+
+def latest_step(manager: ocp.CheckpointManager) -> Optional[int]:
+    return manager.latest_step()
+
+
+def restore(manager: ocp.CheckpointManager, state: TrainState, step: Optional[int] = None) -> TrainState:
+    """Full-state resume (tf2/run.py:316-321)."""
+    step = step if step is not None else manager.latest_step()
+    target = {"params": state.params, "batch_stats": state.batch_stats,
+              "opt_state": state.opt_state, "step": state.step}
+    restored = manager.restore(step, args=ocp.args.StandardRestore(jax.device_get(target)))
+    return state.replace(
+        params=restored["params"], batch_stats=restored["batch_stats"],
+        opt_state=restored["opt_state"], step=jnp.asarray(restored["step"], jnp.int32),
+    )
+
+
+def _filter_by_schema(new_tree, restored_tree, variable_schema: str):
+    """Keep restored values only where the path matches the schema regex
+    (TF1 --variable_schema semantics, model.py:165-168; '?!global_step'
+    means 'everything except global_step', which params trees satisfy)."""
+    names = param_path_strings(new_tree)
+    new_leaves = jax.tree_util.tree_leaves(new_tree)
+    restored_leaves = jax.tree_util.tree_leaves(restored_tree)
+    treedef = jax.tree_util.tree_structure(new_tree)
+    out = []
+    for name, new_leaf, res_leaf in zip(names, new_leaves, restored_leaves):
+        use_restored = re.search(variable_schema, name) is not None or variable_schema == r"?!global_step"
+        out.append(res_leaf if use_restored else new_leaf)
+    return jax.tree_util.tree_unflatten(treedef, out)
+
+
+def _zero_init_head(params):
+    """Zero the supervised head weights (model.py:170-183)."""
+    if "head_supervised" not in params:
+        return params
+    head = jax.tree.map(jnp.zeros_like, params["head_supervised"])
+    return {**params, "head_supervised": head}
+
+
+def warm_start(config: Config, state: TrainState, checkpoint_path: str) -> TrainState:
+    """Model-weights-only restore from another run's checkpoint dir or a
+    specific step dir (tf2/run.py:324-337)."""
+    mngr = ocp.CheckpointManager(checkpoint_path)
+    step = mngr.latest_step()
+    target = jax.device_get({"params": state.params, "batch_stats": state.batch_stats,
+                             "opt_state": state.opt_state, "step": state.step})
+    restored = mngr.restore(step, args=ocp.args.StandardRestore(target))
+
+    params = _filter_by_schema(state.params, restored["params"], config.variable_schema)
+    if config.zero_init_logits_layer:
+        params = _zero_init_head(params)
+    return state.replace(params=params, batch_stats=restored["batch_stats"])
+
+
+def try_restore_or_warm_start(config: Config, state: TrainState,
+                              manager: ocp.CheckpointManager) -> TrainState:
+    """Resume-latest beats warm-start (tf2/run.py:308-337)."""
+    if manager.latest_step() is not None:
+        return restore(manager, state)
+    if config.checkpoint:
+        return warm_start(config, state, config.checkpoint)
+    return state

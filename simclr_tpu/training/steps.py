@@ -1,0 +1,153 @@
+"""Jitted train / eval step functions.
+
+Re-design of the reference step logic (tf2/run.py:557-622 single_step,
+model.py:37-160 model_fn) as pure functions over a TrainState.  Everything —
+the two-view augmentation, forward/backward, NT-Xent with its global
+negatives, LARS update — is one fused XLA program per step.  Under a
+batch-sharded jit the partitioner inserts the gradient psum (reference
+CrossShardOptimizer, model_util.py:104-105), the BN-stat psum
+(resnet.py:62-85) and the NT-Xent all-gather (objective.py:91-124) over the
+mesh 'data' axis automatically.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Any, Callable, Dict, Tuple
+
+import jax
+import jax.numpy as jnp
+import optax
+
+from simclr_tpu.config import Config
+from simclr_tpu.objectives import ntxent
+from simclr_tpu.ops import augment
+from simclr_tpu.optim.builder import add_weight_decay
+from simclr_tpu.training.state import TrainState
+
+
+def topk_accuracy_sums(logits, labels_idx, mask, ks=(1, 5)):
+    """Summed top-k correctness over valid rows (reference metric_fn recall@k,
+    model.py:191-217).  Returns dict of sums plus valid count."""
+    out = {}
+    k_max = max(ks)
+    k_max = min(k_max, logits.shape[-1])
+    _, top_idx = jax.lax.top_k(logits, k_max)  # (B, k_max)
+    hit = top_idx == labels_idx[:, None]
+    for k in ks:
+        kk = min(k, k_max)
+        correct = jnp.any(hit[:, :kk], axis=-1).astype(jnp.float32)
+        out[f"top_{k}_sum"] = jnp.sum(correct * mask)
+    out["count"] = jnp.sum(mask)
+    return out
+
+
+def make_train_step(config: Config, model, tx: optax.GradientTransformation,
+                    lr_fn: Callable) -> Callable:
+    """Build the jittable train step: (state, batch, base_rng) -> (state, metrics).
+
+    batch: {'image': uint8 (B, H0, W0, 3) global, 'label': int32 (B,)}.
+    """
+    pretrain = config.train_mode == "pretrain"
+    h = w = config.image_size
+
+    def train_step(state: TrainState, batch: Dict[str, jnp.ndarray], base_rng):
+        rng = jax.random.fold_in(base_rng, state.step)
+        k_aug = jax.random.fold_in(rng, 0)
+
+        images = batch["image"].astype(jnp.float32) / 255.0
+        labels = batch["label"]
+
+        if pretrain:
+            # Two augmented views, on device (tf2/data.py:52-62 + model blur).
+            images = augment.two_view_pretrain_batch(
+                images, k_aug, h, w,
+                color_jitter_strength=config.color_jitter_strength,
+                use_blur=config.use_blur,
+            )
+            # Supervised head sees both views: labels doubled
+            # (tf2/run.py:596-601).
+            sup_label_idx = jnp.concatenate([labels, labels], axis=0)
+        else:
+            # Finetune: single view, crop+flip but no color jitter
+            # (tf2/data.py:101-115: jitter strength 0 for finetune).
+            images = augment.preprocess_for_train(
+                images, k_aug, h, w, color_jitter_strength=0.0
+            )
+            sup_label_idx = labels
+
+        def loss_fn(params):
+            (proj, logits_sup), mutated = model.apply(
+                {"params": params, "batch_stats": state.batch_stats},
+                images, train=True, mutable=["batch_stats"],
+            )
+            metrics = {}
+            loss = jnp.zeros([], jnp.float32)
+            if pretrain:
+                con_loss, logits_ab, con_labels = ntxent.add_contrastive_loss(
+                    proj, hidden_norm=config.hidden_norm,
+                    temperature=config.temperature,
+                )
+                loss += con_loss
+                metrics["train/contrast_loss"] = con_loss
+                metrics["train/contrast_acc"] = ntxent.contrastive_accuracy(logits_ab, con_labels)
+                metrics["train/contrast_entropy"] = ntxent.contrastive_entropy(logits_ab)
+            if logits_sup is not None:
+                num_classes = logits_sup.shape[-1]
+                sup_labels = jax.nn.one_hot(sup_label_idx, num_classes)
+                sup_loss = ntxent.add_supervised_loss(sup_labels, logits_sup)
+                loss += sup_loss
+                metrics["train/supervised_loss"] = sup_loss
+                metrics["train/supervised_acc"] = jnp.mean(
+                    (jnp.argmax(logits_sup, -1) == sup_label_idx).astype(jnp.float32)
+                )
+            wd_loss = add_weight_decay(config, params)
+            loss += wd_loss
+            metrics["train/weight_decay"] = wd_loss
+            metrics["train/total_loss"] = loss
+            return loss, (mutated["batch_stats"], metrics)
+
+        grads, (new_batch_stats, metrics) = jax.grad(loss_fn, has_aux=True)(state.params)
+        updates, new_opt_state = tx.update(grads, state.opt_state, state.params)
+        new_params = optax.apply_updates(state.params, updates)
+        metrics["learning_rate"] = lr_fn(state.step)
+
+        new_state = state.replace(
+            step=state.step + 1,
+            params=new_params,
+            batch_stats=new_batch_stats,
+            opt_state=new_opt_state,
+        )
+        return new_state, metrics
+
+    return train_step
+
+
+def make_eval_step(config: Config, model) -> Callable:
+    """Eval step: center-crop preprocess + forward + top-1/top-5 sums
+    (tf2/run.py:348-398; padded rows masked like TF1 model.py:191-206)."""
+    h = w = config.image_size
+    test_crop = config.image_size > 32  # data.py:152-165: no test crop <=32px
+
+    def eval_step(state: TrainState, batch: Dict[str, jnp.ndarray]):
+        images = batch["image"].astype(jnp.float32) / 255.0
+        images = augment.preprocess_for_eval(images, h, w, crop=test_crop)
+        labels = batch["label"]
+        mask = batch.get("mask", jnp.ones_like(labels, jnp.float32))
+
+        proj, logits_sup = model.apply(
+            {"params": state.params, "batch_stats": state.batch_stats},
+            images, train=False,
+        )
+        out = {}
+        if logits_sup is not None:
+            sums = topk_accuracy_sums(logits_sup, labels, mask)
+            out.update({f"eval/label_{k}": v for k, v in sums.items()})
+            num_classes = logits_sup.shape[-1]
+            one_hot = jax.nn.one_hot(labels, num_classes)
+            logp = jax.nn.log_softmax(logits_sup, axis=-1)
+            out["eval/sup_loss_sum"] = jnp.sum(-jnp.sum(one_hot * logp, -1) * mask)
+        out["eval/regularization_loss"] = add_weight_decay(config, state.params)
+        return out
+
+    return eval_step

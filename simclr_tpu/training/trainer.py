@@ -1,0 +1,204 @@
+"""Training / evaluation driver (reference L6: run.py:363-448,
+tf2/run.py:466-667).
+
+Owns: mesh bring-up, state init + sharding, the host train loop around the
+fused jitted step, periodic checkpointing, continuous eval, and result
+artifacts.  The device never waits on Python: batches are host-prefetched
+and dispatch is async; metrics are only fetched every
+``train_summary_steps``.
+"""
+
+from __future__ import annotations
+
+import logging
+import os
+import time
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.sharding import NamedSharding, PartitionSpec as P
+
+from simclr_tpu.config import Config, get_checkpoint_steps, get_train_steps
+from simclr_tpu.data.loader import Prefetcher, build_dataset
+from simclr_tpu.models.model import SimCLRModel
+from simclr_tpu.optim.builder import build_optimizer, masked, trainable_mask
+from simclr_tpu.optim.schedule import warmup_cosine_schedule
+from simclr_tpu.parallel import mesh as mesh_lib
+from simclr_tpu.training import checkpoint as ckpt_lib
+from simclr_tpu.training.metrics import MetricLogger, Throughput, write_result_json
+from simclr_tpu.training.state import TrainState
+from simclr_tpu.training.steps import make_eval_step, make_train_step
+
+log = logging.getLogger("simclr_tpu")
+
+
+def build_model_and_optimizer(config: Config, num_examples: int, num_classes: int):
+    model = SimCLRModel.from_config(config, num_classes)
+    lr_fn = warmup_cosine_schedule(config, num_examples)
+    tx = build_optimizer(config, lr_fn)
+    return model, tx, lr_fn
+
+
+def init_state(config: Config, model, tx, mesh, canvas_shape) -> TrainState:
+    """Initialize params on the mesh (replicated or FSDP-sharded)."""
+    h = w = config.image_size
+    views = 2 if config.train_mode == "pretrain" else 1
+    sample = jnp.zeros((2 * views, h, w, 3), jnp.float32)
+
+    def init_fn(rng):
+        variables = model.init(rng, sample, train=False)
+        params, batch_stats = variables["params"], variables.get("batch_stats", {})
+        mask = trainable_mask(config, params)
+        opt_state = masked(tx, mask).init(params)
+        return TrainState(step=jnp.zeros([], jnp.int32), params=params,
+                          batch_stats=batch_stats, opt_state=opt_state)
+
+    rng = jax.random.PRNGKey(config.seed)
+    abstract = jax.eval_shape(init_fn, rng)
+    shardings = mesh_lib.state_shardings(mesh, abstract, fsdp=config.fsdp)
+    with jax.transfer_guard("allow"):
+        state = jax.jit(init_fn, out_shardings=shardings)(rng)
+    return state
+
+
+def _put_batch(batch, mesh):
+    sharding = mesh_lib.batch_sharding(mesh)
+    return {k: jax.device_put(v, sharding) for k, v in batch.items()}
+
+
+def train(config: Config) -> TrainState:
+    assert config.model_dir, "--model_dir is required"
+    mesh_lib.maybe_initialize_distributed()
+    mesh = mesh_lib.create_mesh(config)
+    log.info("mesh: %s", mesh)
+
+    ds, info = build_dataset(config, is_training=True)
+    model, tx, lr_fn = build_model_and_optimizer(config, info.num_train_examples, info.num_classes)
+
+    state = init_state(config, model, tx, mesh, info.image_shape)
+    manager = ckpt_lib.create_manager(config.model_dir, config.keep_checkpoint_max)
+    state = ckpt_lib.try_restore_or_warm_start(config, state, manager)
+
+    mask = trainable_mask(config, state.params)
+    masked_tx = masked(tx, mask)
+    train_step = make_train_step(config, model, masked_tx, lr_fn)
+    step_fn = jax.jit(train_step, donate_argnums=(0,))
+
+    total_steps = get_train_steps(config, info.num_train_examples)
+    checkpoint_steps = get_checkpoint_steps(config, info.num_train_examples)
+    config.save(config.model_dir)  # flags.json parity
+
+    logger = MetricLogger(config.model_dir)
+    throughput = Throughput()
+    base_rng = jax.random.PRNGKey(config.seed + 1)
+    images_per_step = config.train_batch_size
+
+    cur_step = int(jax.device_get(state.step))
+    log.info("training from step %d to %d (checkpoint every %d)", cur_step, total_steps, checkpoint_steps)
+    it = iter(Prefetcher(ds))
+    metrics = None
+    t_start = time.time()
+    while cur_step < total_steps:
+        batch = _put_batch(next(it), mesh)
+        state, metrics = step_fn(state, batch, base_rng)
+        cur_step += 1
+        ips = throughput.update(images_per_step)
+        if cur_step % config.train_summary_steps == 0 or cur_step >= total_steps:
+            fetched = logger.log(cur_step, metrics)
+            if ips:
+                logger.log(cur_step, {"train/images_per_sec": ips})
+            log.info("step %d/%d loss=%.4f ips=%s", cur_step, total_steps,
+                     fetched.get("train/total_loss", float("nan")),
+                     f"{ips:.1f}" if ips else "n/a")
+        if cur_step % checkpoint_steps == 0 or cur_step >= total_steps:
+            ckpt_lib.save(manager, state)
+    logger.close()
+    log.info("training done in %.1fs", time.time() - t_start)
+    return state
+
+
+def evaluate(config: Config, state: Optional[TrainState] = None,
+             checkpoint_step: Optional[int] = None) -> dict:
+    """Single evaluation pass (tf2/run.py:348-432)."""
+    assert config.model_dir, "--model_dir is required"
+    mesh = mesh_lib.create_mesh(config)
+    ds, info = build_dataset(config, is_training=False)
+    model, tx, lr_fn = build_model_and_optimizer(config, max(info.num_train_examples, 1), info.num_classes)
+
+    if state is None:
+        state = init_state(config, model, tx, mesh, info.image_shape)
+        manager = ckpt_lib.create_manager(config.model_dir, config.keep_checkpoint_max)
+        if manager.latest_step() is not None:
+            state = ckpt_lib.restore(manager, state, checkpoint_step)
+        elif config.checkpoint:
+            state = ckpt_lib.warm_start(config, state, config.checkpoint)
+
+    eval_step = jax.jit(make_eval_step(config, model))
+
+    sums = {}
+    num_seen = 0
+    target = info.num_eval_examples
+    if config.eval_steps:
+        target = min(target, config.eval_steps * config.eval_batch_size)
+    for batch in ds:
+        # Mask out padded rows of the final batch (TF1 pad_to_batch parity,
+        # data.py:31-100).
+        remaining = target - num_seen
+        bs = len(batch["label"])
+        mask = (np.arange(bs) < remaining).astype(np.float32)
+        batch = dict(batch, mask=mask)
+        out = jax.device_get(eval_step(state, _put_batch(batch, mesh)))
+        for k, v in out.items():
+            sums[k] = sums.get(k, 0.0) + float(v)
+        num_seen += int(mask.sum())
+        if num_seen >= target:
+            break
+
+    count = max(sums.get("eval/label_count", num_seen), 1.0)
+    result = {
+        "eval/label_top_1_accuracy": sums.get("eval/label_top_1_sum", 0.0) / count,
+        "eval/label_top_5_accuracy": sums.get("eval/label_top_5_sum", 0.0) / count,
+        "eval/supervised_loss": sums.get("eval/sup_loss_sum", 0.0) / count,
+        "eval/regularization_loss": sums.get("eval/regularization_loss", 0.0),
+    }
+    step = int(jax.device_get(state.step))
+    write_result_json(config.model_dir, result, step)
+    config.save(config.model_dir)
+    log.info("eval @ step %d: %s", step, result)
+    return result
+
+
+def continuous_eval(config: Config, min_interval_secs: int = 15):
+    """Watch model_dir for new checkpoints until train_steps is reached
+    (run.py:421-435 checkpoints_iterator semantics)."""
+    ds, info = build_dataset(config, is_training=False)
+    total_steps = get_train_steps(config, max(info.num_train_examples, 1))
+    seen = set()
+    while True:
+        manager = ckpt_lib.create_manager(config.model_dir, config.keep_checkpoint_max)
+        steps = [s for s in (manager.all_steps() or []) if s not in seen]
+        for s in sorted(steps):
+            try:
+                evaluate(config, checkpoint_step=s)
+            except FileNotFoundError:
+                continue  # checkpoint GC race (run.py:432-433)
+            seen.add(s)
+            if s >= total_steps:
+                return
+        time.sleep(min_interval_secs)
+
+
+def run(config: Config):
+    """--mode dispatch (run.py:109-115)."""
+    logging.basicConfig(level=logging.INFO)
+    if config.mode == "train":
+        train(config)
+    elif config.mode == "eval":
+        continuous_eval(config)
+    elif config.mode == "train_then_eval":
+        state = train(config)
+        evaluate(config, state=state)
+    else:
+        raise ValueError(f"Unknown mode {config.mode}")

@@ -1,0 +1,77 @@
+"""End-to-end smoke: pretrain a tiny model on synthetic data over the
+8-device mesh, checkpoint, resume, evaluate, finetune-warm-start."""
+
+import glob
+import json
+import os
+
+import jax
+import numpy as np
+import pytest
+
+from simclr_tpu.config import Config
+from simclr_tpu.training import trainer
+
+
+def _tiny_config(tmp_path, **kw):
+    base = dict(
+        dataset="synthetic",
+        num_images_default=64,
+        image_size=32,
+        resnet_depth=18,
+        train_batch_size=16,
+        eval_batch_size=16,
+        train_steps=3,
+        checkpoint_steps=2,
+        eval_steps=2,
+        train_summary_steps=1,
+        warmup_epochs=0,
+        optimizer="lars",
+        learning_rate=0.1,
+        model_dir=str(tmp_path / "model"),
+        compute_dtype="float32",  # CPU test: avoid bf16 emulation cost
+        use_blur=False,           # keep the CPU compile small
+    )
+    base.update(kw)
+    return Config(**base)
+
+
+@pytest.mark.slow
+def test_pretrain_eval_resume(tmp_path):
+    config = _tiny_config(tmp_path)
+    state = trainer.train(config)
+    assert int(jax.device_get(state.step)) == 3
+
+    # flags.json artifact
+    flags = json.load(open(os.path.join(config.model_dir, "flags.json")))
+    assert flags["resnet_depth"] == 18
+
+    # Evaluate from the saved checkpoint.
+    result = trainer.evaluate(config)
+    assert 0.0 <= result["eval/label_top_1_accuracy"] <= 1.0
+    assert os.path.exists(os.path.join(config.model_dir, "result.json"))
+    assert glob.glob(os.path.join(config.model_dir, "result_*.json"))
+
+    # Resume: extending train_steps continues from step 3.
+    config2 = config.replace(train_steps=5)
+    state2 = trainer.train(config2)
+    assert int(jax.device_get(state2.step)) == 5
+
+
+@pytest.mark.slow
+def test_finetune_warm_start_from_pretrain(tmp_path):
+    pre = _tiny_config(tmp_path, model_dir=str(tmp_path / "pretrain"))
+    trainer.train(pre)
+
+    ft = _tiny_config(
+        tmp_path,
+        model_dir=str(tmp_path / "finetune"),
+        train_mode="finetune",
+        fine_tune_after_block=4,
+        checkpoint=str(tmp_path / "pretrain"),
+        zero_init_logits_layer=True,
+        optimizer="momentum",
+        train_steps=2,
+    )
+    state = trainer.train(ft)
+    assert int(jax.device_get(state.step)) == 2
