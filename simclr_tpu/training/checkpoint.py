@@ -55,16 +55,24 @@ def restore(manager: ocp.CheckpointManager, state: TrainState, step: Optional[in
 
 def _filter_by_schema(new_tree, restored_tree, variable_schema: str):
     """Keep restored values only where the path matches the schema regex
-    (TF1 --variable_schema semantics, model.py:165-168; '?!global_step'
-    means 'everything except global_step', which params trees satisfy)."""
+    (TF1 --variable_schema semantics, model.py:165-168; the default
+    '?!global_step' means 'everything except global_step', which params
+    trees satisfy).  Joined by path name so the source tree may have extra
+    or missing subtrees (e.g. a pretrain run without the supervised head)."""
+    restored_by_name = dict(zip(param_path_strings(restored_tree),
+                                jax.tree_util.tree_leaves(restored_tree)))
     names = param_path_strings(new_tree)
     new_leaves = jax.tree_util.tree_leaves(new_tree)
-    restored_leaves = jax.tree_util.tree_leaves(restored_tree)
     treedef = jax.tree_util.tree_structure(new_tree)
     out = []
-    for name, new_leaf, res_leaf in zip(names, new_leaves, restored_leaves):
-        use_restored = re.search(variable_schema, name) is not None or variable_schema == r"?!global_step"
-        out.append(res_leaf if use_restored else new_leaf)
+    for name, new_leaf in zip(names, new_leaves):
+        matches = (variable_schema == r"?!global_step"
+                   or re.search(variable_schema, name) is not None)
+        res_leaf = restored_by_name.get(name)
+        if matches and res_leaf is not None and tuple(res_leaf.shape) == tuple(new_leaf.shape):
+            out.append(jnp.asarray(res_leaf, new_leaf.dtype))
+        else:
+            out.append(new_leaf)
     return jax.tree_util.tree_unflatten(treedef, out)
 
 
@@ -78,17 +86,20 @@ def _zero_init_head(params):
 
 def warm_start(config: Config, state: TrainState, checkpoint_path: str) -> TrainState:
     """Model-weights-only restore from another run's checkpoint dir or a
-    specific step dir (tf2/run.py:324-337)."""
+    specific step dir (tf2/run.py:324-337).
+
+    Restores the raw saved tree (no target) and takes only params +
+    batch_stats — the source run's optimizer state may have a different
+    structure (e.g. pretrain-LARS -> finetune-momentum)."""
     mngr = ocp.CheckpointManager(checkpoint_path)
     step = mngr.latest_step()
-    target = jax.device_get({"params": state.params, "batch_stats": state.batch_stats,
-                             "opt_state": state.opt_state, "step": state.step})
-    restored = mngr.restore(step, args=ocp.args.StandardRestore(target))
+    restored = mngr.restore(step)
 
     params = _filter_by_schema(state.params, restored["params"], config.variable_schema)
     if config.zero_init_logits_layer:
         params = _zero_init_head(params)
-    return state.replace(params=params, batch_stats=restored["batch_stats"])
+    batch_stats = _filter_by_schema(state.batch_stats, restored["batch_stats"], r"?!global_step")
+    return state.replace(params=params, batch_stats=batch_stats)
 
 
 def try_restore_or_warm_start(config: Config, state: TrainState,
