@@ -344,10 +344,17 @@ def batched_random_apply(fn, p, images, key):
 
 
 def random_crop_with_resize(images, key, height, width, p=1.0):
-    """tf2/data_util.py:364-380."""
-    return batched_random_apply(
-        lambda im, k: crop_and_resize(im, k, height, width), p, images, key
-    )
+    """tf2/data_util.py:364-380.  The not-applied branch resizes the full
+    image to the target size (shapes must match post-op; at the reference's
+    default p=1.0 only the crop branch exists)."""
+    if p >= 1.0:
+        return crop_and_resize(images, key, height, width)
+    k_gate, k_fn = jax.random.split(key)
+    applied = crop_and_resize(images, k_fn, height, width)
+    not_applied = (images if images.shape[1:3] == (height, width)
+                   else resize_bicubic(images, height, width))
+    gate = jax.random.bernoulli(k_gate, p, (images.shape[0], 1, 1, 1))
+    return jnp.where(gate, applied, not_applied)
 
 
 def random_color_jitter(images, key, p=1.0, strength=1.0, impl="simclrv2"):
