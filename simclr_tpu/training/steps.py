@@ -123,24 +123,64 @@ def make_train_step(config: Config, model, tx: optax.GradientTransformation,
     return train_step
 
 
+def make_multi_step(train_step: Callable, steps: int) -> Callable:
+    """Device-side loop of ``steps`` train steps via lax.scan over stacked
+    batches (leaves shaped (steps, B, ...)).
+
+    The reference amortizes host round-trips with iterations_per_loop
+    (run.py:405) / an inner tf.range loop (tf2/run.py:626-638); this is the
+    XLA-native equivalent — one compiled program, one dispatch, ``steps``
+    fused step iterations.  Returns (state, metrics-of-last-step).
+    """
+
+    def multi_step(state, batches, base_rng):
+        def body(st, batch):
+            st, metrics = train_step(st, batch, base_rng)
+            return st, metrics
+
+        state, metrics_seq = jax.lax.scan(body, state, batches)
+        last = jax.tree.map(lambda x: x[-1], metrics_seq)
+        return state, last
+
+    return multi_step
+
+
 def make_eval_step(config: Config, model) -> Callable:
     """Eval step: center-crop preprocess + forward + top-1/top-5 sums
     (tf2/run.py:348-398; padded rows masked like TF1 model.py:191-206)."""
     h = w = config.image_size
     test_crop = config.image_size > 32  # data.py:152-165: no test crop <=32px
 
+    pretrain = config.train_mode == "pretrain"
+
     def eval_step(state: TrainState, batch: Dict[str, jnp.ndarray]):
         images = batch["image"].astype(jnp.float32) / 255.0
         images = augment.preprocess_for_eval(images, h, w, crop=test_crop)
         labels = batch["label"]
         mask = batch.get("mask", jnp.ones_like(labels, jnp.float32))
+        b = images.shape[0]
+
+        if pretrain:
+            # TF1 pretrain-eval feeds the two (deterministic, identical) eval
+            # views and reports contrastive metrics too (data.py:122-126,
+            # model.py:201-205).
+            images = jnp.concatenate([images, images], axis=0)
 
         proj, logits_sup = model.apply(
             {"params": state.params, "batch_stats": state.batch_stats},
             images, train=False,
         )
         out = {}
+        if pretrain:
+            con_loss, logits_ab, con_labels = ntxent.add_contrastive_loss(
+                proj, hidden_norm=config.hidden_norm, temperature=config.temperature
+            )
+            con_idx = jnp.argmax(con_labels[:, : logits_ab.shape[1]], axis=1)
+            csums = topk_accuracy_sums(logits_ab, con_idx, mask)
+            out.update({f"eval/contrastive_{k}": v for k, v in csums.items()})
+            out["eval/contrast_loss_sum"] = con_loss * jnp.sum(mask)
         if logits_sup is not None:
+            logits_sup = logits_sup[:b]  # first view's logits for label metrics
             sums = topk_accuracy_sums(logits_sup, labels, mask)
             out.update({f"eval/label_{k}": v for k, v in sums.items()})
             num_classes = logits_sup.shape[-1]

@@ -29,7 +29,7 @@ from simclr_tpu.parallel import mesh as mesh_lib
 from simclr_tpu.training import checkpoint as ckpt_lib
 from simclr_tpu.training.metrics import MetricLogger, Throughput, write_result_json
 from simclr_tpu.training.state import TrainState
-from simclr_tpu.training.steps import make_eval_step, make_train_step
+from simclr_tpu.training.steps import make_eval_step, make_multi_step, make_train_step
 
 log = logging.getLogger("simclr_tpu")
 
@@ -90,29 +90,47 @@ def train(config: Config) -> TrainState:
     checkpoint_steps = get_checkpoint_steps(config, info.num_train_examples)
     config.save(config.model_dir)  # flags.json parity
 
+    # Device-side loop length (reference iterations_per_loop, run.py:405):
+    # amortizes host round-trips; summaries/checkpoints land on loop
+    # boundaries like the reference's.
+    spl = config.steps_per_loop or min(config.train_summary_steps, checkpoint_steps, 64)
+    spl = max(1, min(spl, total_steps))
+    multi_fn = (jax.jit(make_multi_step(train_step, spl), donate_argnums=(0,))
+                if spl > 1 else None)
+
     logger = MetricLogger(config.model_dir)
     throughput = Throughput()
     base_rng = jax.random.PRNGKey(config.seed + 1)
-    images_per_step = config.train_batch_size
 
     cur_step = int(jax.device_get(state.step))
-    log.info("training from step %d to %d (checkpoint every %d)", cur_step, total_steps, checkpoint_steps)
+    log.info("training from step %d to %d (checkpoint every %d, %d steps/loop)",
+             cur_step, total_steps, checkpoint_steps, spl)
     it = iter(Prefetcher(ds))
-    metrics = None
     t_start = time.time()
     while cur_step < total_steps:
-        batch = _put_batch(next(it), mesh)
-        state, metrics = step_fn(state, batch, base_rng)
-        cur_step += 1
-        ips = throughput.update(images_per_step)
-        if cur_step % config.train_summary_steps == 0 or cur_step >= total_steps:
+        remaining = min(total_steps - cur_step,
+                        checkpoint_steps - cur_step % checkpoint_steps)
+        if multi_fn is not None and remaining >= spl:
+            raw = [next(it) for _ in range(spl)]
+            stacked = {k: np.stack([b[k] for b in raw]) for k in raw[0]}
+            loop_sharding = NamedSharding(mesh, P(None, mesh_lib.DATA_AXIS))
+            batches = {k: jax.device_put(v, loop_sharding) for k, v in stacked.items()}
+            state, metrics = multi_fn(state, batches, base_rng)
+            done = spl
+        else:
+            batch = _put_batch(next(it), mesh)
+            state, metrics = step_fn(state, batch, base_rng)
+            done = 1
+        cur_step += done
+        ips = throughput.update(config.train_batch_size * done)
+        if cur_step % config.train_summary_steps < done or cur_step >= total_steps:
             fetched = logger.log(cur_step, metrics)
             if ips:
                 logger.log(cur_step, {"train/images_per_sec": ips})
             log.info("step %d/%d loss=%.4f ips=%s", cur_step, total_steps,
                      fetched.get("train/total_loss", float("nan")),
                      f"{ips:.1f}" if ips else "n/a")
-        if cur_step % checkpoint_steps == 0 or cur_step >= total_steps:
+        if cur_step % checkpoint_steps < done or cur_step >= total_steps:
             ckpt_lib.save(manager, state)
     logger.close()
     log.info("training done in %.1fs", time.time() - t_start)
@@ -163,6 +181,11 @@ def evaluate(config: Config, state: Optional[TrainState] = None,
         "eval/supervised_loss": sums.get("eval/sup_loss_sum", 0.0) / count,
         "eval/regularization_loss": sums.get("eval/regularization_loss", 0.0),
     }
+    if "eval/contrastive_top_1_sum" in sums:  # TF1 pretrain-eval parity
+        ccount = max(sums.get("eval/contrastive_count", count), 1.0)
+        result["eval/contrast_top_1_accuracy"] = sums["eval/contrastive_top_1_sum"] / ccount
+        result["eval/contrast_top_5_accuracy"] = sums.get("eval/contrastive_top_5_sum", 0.0) / ccount
+        result["eval/contrast_loss"] = sums.get("eval/contrast_loss_sum", 0.0) / ccount
     step = int(jax.device_get(state.step))
     write_result_json(config.model_dir, result, step)
     config.save(config.model_dir)

@@ -52,8 +52,9 @@ def test_pretrain_eval_resume(tmp_path):
     assert os.path.exists(os.path.join(config.model_dir, "result.json"))
     assert glob.glob(os.path.join(config.model_dir, "result_*.json"))
 
-    # Resume: extending train_steps continues from step 3.
-    config2 = config.replace(train_steps=5)
+    # Resume: extending train_steps continues from step 3; exercise the
+    # scan-based steps_per_loop device loop on the way.
+    config2 = config.replace(train_steps=5, steps_per_loop=2)
     state2 = trainer.train(config2)
     assert int(jax.device_get(state2.step)) == 5
 
