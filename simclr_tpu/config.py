@@ -107,6 +107,7 @@ class Config:
     mesh_shape: Optional[str] = _field(None, "Device mesh, e.g. '8' or '4,2' for (data, model); default = all devices on data.")
     fsdp: bool = _field(False, "Shard parameters/optimizer state across the data axis (ZeRO-style).")
     device_augment: bool = _field(True, "Run the augmentation stack on device (batched) instead of the host.")
+    use_fused_ntxent: bool = _field(False, "Use the fused Pallas NT-Xent forward (loss only; skips contrastive acc/entropy metrics).")
     steps_per_loop: int = _field(0, "Device steps per host loop iteration (0 = checkpoint cadence).")
     seed: int = _field(0, "PRNG seed.")
     num_images_default: int = _field(0, "Override number of train images when dataset metadata is unavailable.")

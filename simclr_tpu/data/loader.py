@@ -155,6 +155,21 @@ def _load_tfds(config: Config, is_training: bool):
 # Entry point
 # ---------------------------------------------------------------------------
 
+def shard_for_process(images: np.ndarray, labels: np.ndarray):
+    """Multi-host input sharding: each process reads its contiguous slice
+    (the reference shards per input pipeline via input_context,
+    tf2/data.py:43-47,64-75)."""
+    import jax
+
+    n_proc = jax.process_count()
+    if n_proc <= 1:
+        return images, labels
+    idx = jax.process_index()
+    per = len(images) // n_proc
+    lo, hi = idx * per, (idx + 1) * per
+    return images[lo:hi], labels[lo:hi]
+
+
 def build_dataset(config: Config, is_training: bool):
     """Returns (iterable, DatasetInfo)."""
     name = config.dataset

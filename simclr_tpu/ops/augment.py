@@ -89,23 +89,23 @@ def random_brightness(image, key, max_delta, impl="simclrv2"):
     """Multiplicative (v2) vs additive (v1) brightness (data_util.py:41-56)."""
     if impl == "simclrv2":
         factor = jax.random.uniform(key, (), minval=max(1.0 - max_delta, 0.0), maxval=1.0 + max_delta)
-        return image * factor
+        return image * factor.astype(image.dtype)
     elif impl == "simclrv1":
         delta = jax.random.uniform(key, (), minval=-max_delta, maxval=max_delta)
-        return image + delta
+        return image + delta.astype(image.dtype)
     raise ValueError(f"Unknown impl {impl} for random brightness.")
 
 
 def random_contrast(image, key, lower, upper):
     """tf.image.random_contrast: scale around per-channel spatial mean."""
-    factor = jax.random.uniform(key, (), minval=lower, maxval=upper)
+    factor = jax.random.uniform(key, (), minval=lower, maxval=upper).astype(image.dtype)
     mean = jnp.mean(image, axis=(-3, -2), keepdims=True)
     return (image - mean) * factor + mean
 
 
 def random_saturation(image, key, lower, upper):
     """tf.image.random_saturation: scale S channel in HSV, clip to [0,1]."""
-    factor = jax.random.uniform(key, (), minval=lower, maxval=upper)
+    factor = jax.random.uniform(key, (), minval=lower, maxval=upper).astype(image.dtype)
     hsv = rgb_to_hsv(jnp.clip(image, 0.0, 1.0))
     hsv = hsv.at[..., 1].set(jnp.clip(hsv[..., 1] * factor, 0.0, 1.0))
     return hsv_to_rgb(hsv)
@@ -113,7 +113,7 @@ def random_saturation(image, key, lower, upper):
 
 def random_hue(image, key, max_delta):
     """tf.image.random_hue: rotate H channel in HSV."""
-    delta = jax.random.uniform(key, (), minval=-max_delta, maxval=max_delta)
+    delta = jax.random.uniform(key, (), minval=-max_delta, maxval=max_delta).astype(image.dtype)
     hsv = rgb_to_hsv(jnp.clip(image, 0.0, 1.0))
     hsv = hsv.at[..., 0].set((hsv[..., 0] + delta) % 1.0)
     return hsv_to_rgb(hsv)
@@ -300,6 +300,7 @@ def gaussian_blur(images, sigmas, kernel_size: int):
     # Fold batch into channels: (1, H, W, B*C).
     imgs = jnp.transpose(images, (1, 2, 0, 3)).reshape(1, h, w, b * c)
     # Depthwise filters, HWIO with feature_group_count=B*C: (kh, kw, 1, B*C).
+    kern = kern.astype(images.dtype)
     kern_bc = jnp.repeat(kern, c, axis=0)  # (B*C, ksize)
     blur_h = kern_bc.T.reshape(1, ksize, 1, b * c)
     blur_v = kern_bc.T.reshape(ksize, 1, 1, b * c)
@@ -374,13 +375,20 @@ def random_color_jitter(images, key, p=1.0, strength=1.0, impl="simclrv2"):
 def preprocess_for_train(
     images, key, height, width,
     color_jitter_strength=0.0, crop=True, flip=True, impl="simclrv2",
+    dtype=None,
 ):
-    """Batched train-time preprocessing (tf2/data_util.py:444-479)."""
+    """Batched train-time preprocessing (tf2/data_util.py:444-479).
+
+    ``dtype``: compute dtype for the elementwise color stack (bfloat16 on
+    TPU halves the HBM traffic of the jitter chain; crop-resize stays fp32
+    for bicubic weight precision)."""
     k_crop, k_flip, k_jitter = jax.random.split(key, 3)
     if crop:
         images = random_crop_with_resize(images, k_crop, height, width)
     if flip:
         images = random_flip_left_right(images, k_flip)
+    if dtype is not None:
+        images = images.astype(dtype)
     if color_jitter_strength > 0:
         images = random_color_jitter(images, k_jitter, strength=color_jitter_strength, impl=impl)
     return jnp.clip(images, 0.0, 1.0)
@@ -407,7 +415,7 @@ def preprocess_image(
 
 def two_view_pretrain_batch(
     images, key, height, width, color_jitter_strength=1.0,
-    use_blur=True, impl="simclrv2",
+    use_blur=True, impl="simclrv2", dtype=None,
 ):
     """Generate the two augmented views for pretraining, fully on device.
 
@@ -419,8 +427,8 @@ def two_view_pretrain_batch(
     if images.dtype == jnp.uint8:
         images = images.astype(jnp.float32) / 255.0
     k1, k2, k_blur = jax.random.split(key, 3)
-    view_a = preprocess_for_train(images, k1, height, width, color_jitter_strength, impl=impl)
-    view_b = preprocess_for_train(images, k2, height, width, color_jitter_strength, impl=impl)
+    view_a = preprocess_for_train(images, k1, height, width, color_jitter_strength, impl=impl, dtype=dtype)
+    view_b = preprocess_for_train(images, k2, height, width, color_jitter_strength, impl=impl, dtype=dtype)
     if use_blur:
         view_a, view_b = batch_random_blur([view_a, view_b], k_blur, height, width)
     return jnp.concatenate([view_a, view_b], axis=0)

@@ -65,7 +65,7 @@ def _ntxent_pallas_tpu(hidden, temperature):
     n_row_tiles = b // ROW_TILE
     n_col_tiles = b // COL_TILE
 
-    def kernel(h1_ref, h2_ref, loss_ref, m_scratch, l_scratch, p_scratch):
+    def kernel(h1_ref, h2_ref, loss_ref):
         i = pl.program_id(0)
         row0 = i * ROW_TILE
         q1 = h1_ref[pl.ds(row0, ROW_TILE), :]
@@ -123,10 +123,10 @@ def _ntxent_pallas_tpu(hidden, temperature):
         out_shape=jax.ShapeDtypeStruct((b, 1), jnp.float32),
         grid=(n_row_tiles,),
         in_specs=[
-            pl.BlockSpec(memory_space=pltpu.ANY),
-            pl.BlockSpec(memory_space=pltpu.ANY),
+            pl.BlockSpec(memory_space=pltpu.VMEM),
+            pl.BlockSpec(memory_space=pltpu.VMEM),
         ],
-        out_specs=pl.BlockSpec(memory_space=pltpu.ANY),
+        out_specs=pl.BlockSpec(memory_space=pltpu.VMEM),
         scratch_shapes=[],
     )(h1, h2)
     return jnp.mean(losses)
@@ -144,7 +144,9 @@ def ntxent_loss_fused(hidden, hidden_norm: bool = True, temperature: float = 1.0
 
 
 def _fused_fwd(hidden, hidden_norm, temperature):
-    return ntxent_loss_fused(hidden, hidden_norm, temperature), hidden
+    # Forward via the Pallas streaming kernel on TPU (dense fallback
+    # elsewhere); residual is just the embeddings.
+    return add_contrastive_loss_pallas(hidden, hidden_norm, temperature), hidden
 
 
 def _fused_bwd(hidden_norm, temperature, hidden, g):

@@ -58,12 +58,13 @@ def make_train_step(config: Config, model, tx: optax.GradientTransformation,
         images = batch["image"].astype(jnp.float32) / 255.0
         labels = batch["label"]
 
+        aug_dtype = jnp.bfloat16 if config.compute_dtype == "bfloat16" else None
         if pretrain:
             # Two augmented views, on device (tf2/data.py:52-62 + model blur).
             images = augment.two_view_pretrain_batch(
                 images, k_aug, h, w,
                 color_jitter_strength=config.color_jitter_strength,
-                use_blur=config.use_blur,
+                use_blur=config.use_blur, dtype=aug_dtype,
             )
             # Supervised head sees both views: labels doubled
             # (tf2/run.py:596-601).
@@ -84,14 +85,20 @@ def make_train_step(config: Config, model, tx: optax.GradientTransformation,
             metrics = {}
             loss = jnp.zeros([], jnp.float32)
             if pretrain:
-                con_loss, logits_ab, con_labels = ntxent.add_contrastive_loss(
-                    proj, hidden_norm=config.hidden_norm,
-                    temperature=config.temperature,
-                )
+                if config.use_fused_ntxent:
+                    from simclr_tpu.ops.ntxent_pallas import ntxent_loss_fused
+
+                    con_loss = ntxent_loss_fused(proj, config.hidden_norm, config.temperature)
+                    metrics["train/contrast_loss"] = con_loss
+                else:
+                    con_loss, logits_ab, con_labels = ntxent.add_contrastive_loss(
+                        proj, hidden_norm=config.hidden_norm,
+                        temperature=config.temperature,
+                    )
+                    metrics["train/contrast_loss"] = con_loss
+                    metrics["train/contrast_acc"] = ntxent.contrastive_accuracy(logits_ab, con_labels)
+                    metrics["train/contrast_entropy"] = ntxent.contrastive_entropy(logits_ab)
                 loss += con_loss
-                metrics["train/contrast_loss"] = con_loss
-                metrics["train/contrast_acc"] = ntxent.contrastive_accuracy(logits_ab, con_labels)
-                metrics["train/contrast_entropy"] = ntxent.contrastive_entropy(logits_ab)
             if logits_sup is not None:
                 num_classes = logits_sup.shape[-1]
                 sup_labels = jax.nn.one_hot(sup_label_idx, num_classes)

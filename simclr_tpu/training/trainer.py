@@ -189,6 +189,14 @@ def evaluate(config: Config, state: Optional[TrainState] = None,
     step = int(jax.device_get(state.step))
     write_result_json(config.model_dir, result, step)
     config.save(config.model_dir)
+    # Export the serving bundle at eval time like the reference
+    # (run.py:354-360 hub export inside perform_evaluation).
+    try:
+        from simclr_tpu.export import export_serving
+
+        export_serving(config, state, info.num_classes)
+    except Exception as e:  # export must not break eval
+        log.warning("serving export failed: %s", e)
     log.info("eval @ step %d: %s", step, result)
     return result
 
