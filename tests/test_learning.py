@@ -15,12 +15,12 @@ from simclr_tpu.training import trainer
 def _make_separable_npz(path, n=512, num_classes=4, size=32):
     rng = np.random.RandomState(0)
     labels = rng.randint(0, num_classes, size=n)
-    images = rng.randint(0, 40, size=(n, size, size, 3)).astype(np.int32)
-    # class k gets a bright block in quadrant k — trivially separable
+    images = rng.randint(0, 60, size=(n, size, size, 3)).astype(np.int32)
+    # Class signal must survive random crop + flip (the finetune train path
+    # crops): class k gets a global color tint, not a positional pattern.
+    tints = np.array([[180, 0, 0], [0, 180, 0], [0, 0, 180], [150, 150, 0]])
     for i, k in enumerate(labels):
-        y0 = (k // 2) * (size // 2)
-        x0 = (k % 2) * (size // 2)
-        images[i, y0:y0 + size // 2, x0:x0 + size // 2, :] += 180
+        images[i] += tints[k][None, None, :]
     np.savez(path, images=np.clip(images, 0, 255).astype(np.uint8), labels=labels)
 
 
