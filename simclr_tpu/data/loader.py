@@ -119,36 +119,67 @@ class ArrayDataset:
 # TFDS (optional)
 # ---------------------------------------------------------------------------
 
+class TFDSStream:
+    """Streaming TFDS pipeline: decode + resize-to-canvas on host, batch
+    uint8; augmentation happens on device.
+
+    Structure mirrors the reference host pipeline (data.py:133-146 /
+    tf2/data.py:64-90): shuffle(buffer = bsz x 50 small / x10 large) ->
+    repeat -> map -> batch(drop_remainder=train) -> prefetch(AUTOTUNE),
+    sharded per process for multi-host.
+    """
+
+    def __init__(self, config: Config, is_training: bool):
+        import tensorflow as tf
+        import tensorflow_datasets as tfds
+
+        name = config.dataset.removeprefix("tfds:")
+        builder = tfds.builder(name, data_dir=config.data_dir)
+        builder.download_and_prepare()
+        split = config.train_split if is_training else config.eval_split
+        self.num_examples = builder.info.splits[split].num_examples
+        self.num_classes = builder.info.features["label"].num_classes
+        h, w, _ = _canvas_shape(config)
+        bs = config.train_batch_size if is_training else config.eval_batch_size
+
+        import jax
+
+        ds = builder.as_dataset(split=split, shuffle_files=is_training,
+                                as_supervised=True)
+        if jax.process_count() > 1:
+            ds = ds.shard(jax.process_count(), jax.process_index())
+        if config.cache_dataset:
+            ds = ds.cache()
+        if is_training:
+            buffer_multiplier = 50 if config.image_size <= 32 else 10
+            ds = ds.shuffle(bs * buffer_multiplier, seed=config.seed)
+            ds = ds.repeat(-1)
+
+        def map_fn(image, label):
+            if image.shape[:2] != (h, w):
+                image = tf.image.resize(image, (h, w), method="bicubic")
+            image = tf.cast(tf.clip_by_value(tf.cast(image, tf.float32), 0, 255), tf.uint8)
+            return image, tf.cast(label, tf.int32)
+
+        ds = ds.map(map_fn, num_parallel_calls=tf.data.AUTOTUNE)
+        ds = ds.batch(bs, drop_remainder=is_training)
+        self._ds = ds.prefetch(tf.data.AUTOTUNE)
+        self._bs = bs
+
+    def __iter__(self) -> Iterator[dict]:
+        import tensorflow_datasets as tfds
+
+        for image, label in tfds.as_numpy(self._ds):
+            if len(label) < self._bs:  # pad final eval batch
+                pad = self._bs - len(label)
+                image = np.concatenate([image, np.repeat(image[:1], pad, 0)])
+                label = np.concatenate([label, np.repeat(label[:1], pad, 0)])
+            yield {"image": image, "label": label}
+
+
 def _load_tfds(config: Config, is_training: bool):
-    import tensorflow_datasets as tfds  # gated import
-
-    name = config.dataset.removeprefix("tfds:")
-    builder = tfds.builder(name, data_dir=config.data_dir)
-    builder.download_and_prepare()
-    split = config.train_split if is_training else config.eval_split
-    info = builder.info
-    num = info.splits[split].num_examples
-    num_classes = info.features["label"].num_classes
-
-    h, w, c = _canvas_shape(config)
-    ds = tfds.as_numpy(builder.as_dataset(split=split, shuffle_files=is_training))
-
-    import tensorflow as tf
-
-    def gen():
-        imgs, labels = [], []
-        for ex in ds:
-            img = ex["image"]
-            if img.shape[:2] != (h, w):
-                img = tf.image.resize(img, (h, w), method="bicubic")
-                img = np.clip(img.numpy(), 0, 255).astype(np.uint8)
-            imgs.append(img)
-            labels.append(ex["label"])
-        return np.stack(imgs), np.asarray(labels)
-
-    images, labels = gen()
-    bs = config.train_batch_size if is_training else config.eval_batch_size
-    return ArrayDataset(images, labels, bs, is_training, seed=config.seed), num, num_classes
+    stream = TFDSStream(config, is_training)
+    return stream, stream.num_examples, stream.num_classes
 
 
 # ---------------------------------------------------------------------------
@@ -195,11 +226,11 @@ def build_dataset(config: Config, is_training: bool):
         return arr, info
     # tfds path (cifar10, imagenet2012, imagenet2012_subset/1pct, ...)
     ds, num, num_classes = _load_tfds(config, is_training)
-    n_train = num if is_training else config.num_images_default or num
-    info = DatasetInfo(
-        num if is_training else n_train, num if not is_training else 0,
-        num_classes, _canvas_shape(config),
-    )
+    if is_training:
+        info = DatasetInfo(num, 0, num_classes, _canvas_shape(config))
+    else:
+        n_train = config.num_images_default or num
+        info = DatasetInfo(n_train, num, num_classes, _canvas_shape(config))
     return ds, info
 
 
