@@ -108,6 +108,7 @@ class Config:
     fsdp: bool = _field(False, "Shard parameters/optimizer state across the data axis (ZeRO-style).")
     device_augment: bool = _field(True, "Run the augmentation stack on device (batched) instead of the host.")
     use_fused_ntxent: bool = _field(False, "Use the fused Pallas NT-Xent forward (loss only; skips contrastive acc/entropy metrics).")
+    use_shard_map: bool = _field(False, "Explicit-SPMD train step via shard_map (required for per-replica BN, i.e. global_bn=False, on multi-device).")
     steps_per_loop: int = _field(0, "Device steps per host loop iteration (0 = checkpoint cadence).")
     seed: int = _field(0, "PRNG seed.")
     num_images_default: int = _field(0, "Override number of train images when dataset metadata is unavailable.")

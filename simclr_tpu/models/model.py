@@ -49,6 +49,11 @@ class SimCLRModel(nn.Module):
 
     @classmethod
     def from_config(cls, config: Config, num_classes: int, axis_name: Optional[str] = None):
+        # axis_name reaches the BatchNorm layers: inside shard_map/pmap it
+        # turns on cross-replica statistics (--global_bn). Under GSPMD
+        # (axis_name=None) statistics are global automatically.
+        if axis_name is not None and not config.global_bn:
+            axis_name = None  # per-replica BN stats (reference global_bn=False)
         return cls(
             num_classes=num_classes,
             resnet_depth=config.resnet_depth,

@@ -130,6 +130,98 @@ def make_train_step(config: Config, model, tx: optax.GradientTransformation,
     return train_step
 
 
+def make_shard_map_train_step(config: Config, model, tx: optax.GradientTransformation,
+                              lr_fn: Callable, mesh) -> Callable:
+    """Explicit-SPMD train step via jax.shard_map over the mesh 'data' axis.
+
+    The alternative to the GSPMD path: per-replica code with explicit
+    collectives, matching the reference's replica-context programming model
+    (tf2/run.py:557-622).  Supports --global_bn=False (per-replica batch
+    statistics, moving averages pmean-merged so replicas stay consistent) —
+    which GSPMD cannot express.  NT-Xent gathers negatives with
+    lax.all_gather and replica-offset labels (objective.py:59-68);
+    gradients/metrics are pmean'd (CrossShardOptimizer semantics,
+    model_util.py:104-105).
+
+    The model must be built with axis_name='data'
+    (SimCLRModel.from_config(..., axis_name='data')).
+    """
+    from jax.sharding import PartitionSpec as P
+
+    pretrain = config.train_mode == "pretrain"
+    h = w = config.image_size
+
+    def local_step(state: TrainState, batch, base_rng):
+        replica = jax.lax.axis_index("data")
+        rng = jax.random.fold_in(jax.random.fold_in(base_rng, state.step), replica)
+        k_aug = jax.random.fold_in(rng, 0)
+
+        images = batch["image"].astype(jnp.float32) / 255.0
+        labels = batch["label"]
+        aug_dtype = jnp.bfloat16 if config.compute_dtype == "bfloat16" else None
+        if pretrain:
+            images = augment.two_view_pretrain_batch(
+                images, k_aug, h, w,
+                color_jitter_strength=config.color_jitter_strength,
+                use_blur=config.use_blur, dtype=aug_dtype,
+            )
+            sup_label_idx = jnp.concatenate([labels, labels], axis=0)
+        else:
+            images = augment.preprocess_for_train(images, k_aug, h, w, 0.0)
+            sup_label_idx = labels
+
+        def loss_fn(params):
+            (proj, logits_sup), mutated = model.apply(
+                {"params": params, "batch_stats": state.batch_stats},
+                images, train=True, mutable=["batch_stats"],
+            )
+            metrics = {}
+            loss = jnp.zeros([], jnp.float32)
+            if pretrain:
+                con_loss, logits_ab, con_labels = ntxent.add_contrastive_loss(
+                    proj, hidden_norm=config.hidden_norm,
+                    temperature=config.temperature, axis_name="data",
+                )
+                loss += con_loss
+                metrics["train/contrast_loss"] = con_loss
+                metrics["train/contrast_acc"] = ntxent.contrastive_accuracy(logits_ab, con_labels)
+                metrics["train/contrast_entropy"] = ntxent.contrastive_entropy(logits_ab)
+            if logits_sup is not None:
+                sup_labels = jax.nn.one_hot(sup_label_idx, logits_sup.shape[-1])
+                sup_loss = ntxent.add_supervised_loss(sup_labels, logits_sup)
+                loss += sup_loss
+                metrics["train/supervised_loss"] = sup_loss
+            wd_loss = add_weight_decay(config, params)
+            loss += wd_loss
+            metrics["train/weight_decay"] = wd_loss
+            metrics["train/total_loss"] = loss
+            return loss, (mutated["batch_stats"], metrics)
+
+        grads, (new_batch_stats, metrics) = jax.grad(loss_fn, has_aux=True)(state.params)
+        grads = jax.lax.pmean(grads, "data")
+        # Per-replica moving statistics merged so replicas stay identical
+        # (with --global_bn the stats are already equal; pmean is a no-op).
+        new_batch_stats = jax.lax.pmean(new_batch_stats, "data")
+        metrics = jax.lax.pmean(metrics, "data")
+
+        updates, new_opt_state = tx.update(grads, state.opt_state, state.params)
+        new_params = optax.apply_updates(state.params, updates)
+        metrics["learning_rate"] = lr_fn(state.step)
+        new_state = state.replace(
+            step=state.step + 1, params=new_params,
+            batch_stats=new_batch_stats, opt_state=new_opt_state,
+        )
+        return new_state, metrics
+
+    state_specs = P()  # replicated state
+    return jax.shard_map(
+        local_step, mesh=mesh,
+        in_specs=(state_specs, P("data"), P()),
+        out_specs=(state_specs, P()),
+        check_vma=False,
+    )
+
+
 def make_multi_step(train_step: Callable, steps: int) -> Callable:
     """Device-side loop of ``steps`` train steps via lax.scan over stacked
     batches (leaves shaped (steps, B, ...)).

@@ -35,7 +35,8 @@ log = logging.getLogger("simclr_tpu")
 
 
 def build_model_and_optimizer(config: Config, num_examples: int, num_classes: int):
-    model = SimCLRModel.from_config(config, num_classes)
+    axis_name = "data" if config.use_shard_map else None
+    model = SimCLRModel.from_config(config, num_classes, axis_name=axis_name)
     lr_fn = warmup_cosine_schedule(config, num_examples)
     tx = build_optimizer(config, lr_fn)
     return model, tx, lr_fn
@@ -83,7 +84,12 @@ def train(config: Config) -> TrainState:
 
     mask = trainable_mask(config, state.params)
     masked_tx = masked(tx, mask)
-    train_step = make_train_step(config, model, masked_tx, lr_fn)
+    if config.use_shard_map:
+        from simclr_tpu.training.steps import make_shard_map_train_step
+
+        train_step = make_shard_map_train_step(config, model, masked_tx, lr_fn, mesh)
+    else:
+        train_step = make_train_step(config, model, masked_tx, lr_fn)
     step_fn = jax.jit(train_step, donate_argnums=(0,))
 
     total_steps = get_train_steps(config, info.num_train_examples)
