@@ -17,7 +17,7 @@ import argparse
 import dataclasses
 import json
 import os
-from typing import Any, Optional
+from typing import Optional
 
 
 def _field(default, help_: str = ""):
