@@ -4,6 +4,8 @@ linear eval (frozen encoder, fine_tune_after_block=4) on color-separable
 synthetic classes.  Exercises the full reference workflow of README.md:79-131
 end to end at toy scale."""
 
+import os
+
 import numpy as np
 import pytest
 
@@ -13,6 +15,10 @@ from tests.test_learning import _make_separable_npz
 
 
 @pytest.mark.slow
+@pytest.mark.skipif(
+    os.environ.get("SIMCLR_SKIP_HEAVY") == "1",
+    reason="~17 min on a 1-core host; set SIMCLR_SKIP_HEAVY=1 to skip",
+)
 def test_pretrain_then_linear_eval(tmp_path):
     npz = str(tmp_path / "sep.npz")
     _make_separable_npz(npz, n=512, num_classes=4)
