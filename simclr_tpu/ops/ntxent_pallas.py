@@ -34,8 +34,181 @@ from simclr_tpu.objectives import ntxent as ntxent_ref
 LARGE_NUM = 1e9
 
 
-def _ntxent_pallas_tpu(hidden, temperature):
-    """Pallas fused path (single device, both directions in one kernel)."""
+def _tiles(b):
+    row = min(128, b) if b % min(128, b) == 0 else b
+    col = min(512, b) if b % min(512, b) == 0 else b
+    return row, col
+
+
+def _ntxent_pallas_fwd(h1, h2, temperature, interpret=False):
+    """Streaming forward: per-row losses + the logsumexp state (m, l) for
+    both directions, used as backward residuals."""
+    from jax.experimental import pallas as pl
+    from jax.experimental.pallas import tpu as pltpu
+
+    b, d = h1.shape
+    ROW_TILE, COL_TILE = _tiles(b)
+    n_row_tiles = b // ROW_TILE
+    n_col_tiles = b // COL_TILE
+
+    def kernel(h1_ref, h2_ref, loss_ref, ma_ref, la_ref, mb_ref, lb_ref):
+        i = pl.program_id(0)
+        row0 = i * ROW_TILE
+        q1 = h1_ref[pl.ds(row0, ROW_TILE), :]
+        q2 = h2_ref[pl.ds(row0, ROW_TILE), :]
+
+        neg_inf = jnp.full((ROW_TILE, 1), -jnp.inf, jnp.float32)
+        m_a, m_b = neg_inf, neg_inf
+        l_a = jnp.zeros((ROW_TILE, 1), jnp.float32)
+        l_b = jnp.zeros((ROW_TILE, 1), jnp.float32)
+        p_a = jnp.zeros((ROW_TILE, 1), jnp.float32)
+        p_b = jnp.zeros((ROW_TILE, 1), jnp.float32)
+        row_ids = row0 + jax.lax.broadcasted_iota(jnp.int32, (ROW_TILE, COL_TILE), 0)
+
+        def col_step(j, carry):
+            m_a, l_a, m_b, l_b, p_a, p_b = carry
+            col0 = j * COL_TILE
+            k1 = h1_ref[pl.ds(col0, COL_TILE), :]
+            k2 = h2_ref[pl.ds(col0, COL_TILE), :]
+            col_ids = col0 + jax.lax.broadcasted_iota(jnp.int32, (ROW_TILE, COL_TILE), 1)
+            diag = (row_ids == col_ids).astype(jnp.float32)
+
+            s_ab = jnp.dot(q1, k2.T, preferred_element_type=jnp.float32) / temperature
+            s_aa = jnp.dot(q1, k1.T, preferred_element_type=jnp.float32) / temperature - diag * LARGE_NUM
+            s_ba = jnp.dot(q2, k1.T, preferred_element_type=jnp.float32) / temperature
+            s_bb = jnp.dot(q2, k2.T, preferred_element_type=jnp.float32) / temperature - diag * LARGE_NUM
+            p_a = p_a + jnp.sum(s_ab * diag, axis=1, keepdims=True)
+            p_b = p_b + jnp.sum(s_ba * diag, axis=1, keepdims=True)
+
+            def lse_update(m, l, s):
+                tile_max = jnp.maximum(jnp.max(s, axis=1, keepdims=True), m)
+                l = l * jnp.exp(m - tile_max) + jnp.sum(jnp.exp(s - tile_max), axis=1, keepdims=True)
+                return tile_max, l
+
+            m_a, l_a = lse_update(*lse_update(m_a, l_a, s_ab), s_aa)
+            m_b, l_b = lse_update(*lse_update(m_b, l_b, s_ba), s_bb)
+            return m_a, l_a, m_b, l_b, p_a, p_b
+
+        m_a, l_a, m_b, l_b, p_a, p_b = jax.lax.fori_loop(
+            0, n_col_tiles, col_step, (m_a, l_a, m_b, l_b, p_a, p_b)
+        )
+        sl = pl.ds(row0, ROW_TILE)
+        loss_ref[sl, :] = (m_a + jnp.log(l_a) - p_a) + (m_b + jnp.log(l_b) - p_b)
+        ma_ref[sl, :] = m_a
+        la_ref[sl, :] = l_a
+        mb_ref[sl, :] = m_b
+        lb_ref[sl, :] = l_b
+
+    out = [jax.ShapeDtypeStruct((b, 1), jnp.float32) for _ in range(5)]
+    specs = [pl.BlockSpec(memory_space=pltpu.VMEM) for _ in range(5)]
+    return pl.pallas_call(
+        kernel,
+        out_shape=tuple(out),
+        grid=(n_row_tiles,),
+        in_specs=[pl.BlockSpec(memory_space=pltpu.VMEM)] * 2,
+        out_specs=tuple(specs),
+        interpret=interpret,
+    )(h1, h2)
+
+
+def _ntxent_pallas_bwd(h1, h2, m_a, l_a, m_b, l_b, temperature, interpret=False):
+    """Streaming backward over recomputed probability tiles.
+
+    With P_ab/P_aa = row-softmax of [s_ab|s_aa] (direction a) and P_ba/P_bb
+    (direction b), the per-row-sum loss gradients are
+        dh1 = [P_ab @ h2 + (P_aa + P_aa^T) @ h1 + P_ba^T @ h2 - 2 h2] / T
+        dh2 = [P_ba @ h1 + (P_bb + P_bb^T) @ h2 + P_ab^T @ h1 - 2 h1] / T
+    (identity terms folded outside the kernel; caller applies g/B and the
+    L2-normalization backward).  Column contributions accumulate into the
+    full output refs across the sequential TPU grid.
+    """
+    from jax.experimental import pallas as pl
+    from jax.experimental.pallas import tpu as pltpu
+
+    b, d = h1.shape
+    ROW_TILE, COL_TILE = _tiles(b)
+    n_row_tiles = b // ROW_TILE
+    n_col_tiles = b // COL_TILE
+
+    def kernel(h1_ref, h2_ref, ma_ref, la_ref, mb_ref, lb_ref, dh1_ref, dh2_ref):
+        i = pl.program_id(0)
+
+        @pl.when(i == 0)
+        def _():
+            dh1_ref[...] = jnp.zeros_like(dh1_ref)
+            dh2_ref[...] = jnp.zeros_like(dh2_ref)
+
+        row0 = i * ROW_TILE
+        q1 = h1_ref[pl.ds(row0, ROW_TILE), :]
+        q2 = h2_ref[pl.ds(row0, ROW_TILE), :]
+        m_a = ma_ref[pl.ds(row0, ROW_TILE), :]
+        l_a = la_ref[pl.ds(row0, ROW_TILE), :]
+        m_b = mb_ref[pl.ds(row0, ROW_TILE), :]
+        l_b = lb_ref[pl.ds(row0, ROW_TILE), :]
+        row_ids = row0 + jax.lax.broadcasted_iota(jnp.int32, (ROW_TILE, COL_TILE), 0)
+
+        dq1 = jnp.zeros((ROW_TILE, d), jnp.float32)
+        dq2 = jnp.zeros((ROW_TILE, d), jnp.float32)
+
+        def col_step(j, carry):
+            dq1, dq2 = carry
+            col0 = j * COL_TILE
+            k1 = h1_ref[pl.ds(col0, COL_TILE), :]
+            k2 = h2_ref[pl.ds(col0, COL_TILE), :]
+            col_ids = col0 + jax.lax.broadcasted_iota(jnp.int32, (ROW_TILE, COL_TILE), 1)
+            diag = (row_ids == col_ids).astype(jnp.float32)
+
+            s_ab = jnp.dot(q1, k2.T, preferred_element_type=jnp.float32) / temperature
+            s_aa = jnp.dot(q1, k1.T, preferred_element_type=jnp.float32) / temperature - diag * LARGE_NUM
+            s_ba = jnp.dot(q2, k1.T, preferred_element_type=jnp.float32) / temperature
+            s_bb = jnp.dot(q2, k2.T, preferred_element_type=jnp.float32) / temperature - diag * LARGE_NUM
+
+            p_ab = jnp.exp(s_ab - m_a) / l_a
+            p_aa = jnp.exp(s_aa - m_a) / l_a
+            p_ba = jnp.exp(s_ba - m_b) / l_b
+            p_bb = jnp.exp(s_bb - m_b) / l_b
+
+            # row accumulations
+            dq1 = dq1 + jnp.dot(p_ab, k2, preferred_element_type=jnp.float32) \
+                      + jnp.dot(p_aa, k1, preferred_element_type=jnp.float32)
+            dq2 = dq2 + jnp.dot(p_ba, k1, preferred_element_type=jnp.float32) \
+                      + jnp.dot(p_bb, k2, preferred_element_type=jnp.float32)
+
+            # column accumulations into the global outputs
+            csl = pl.ds(col0, COL_TILE)
+            dh1_ref[csl, :] += (
+                jnp.dot(p_aa.T, q1, preferred_element_type=jnp.float32)
+                + jnp.dot(p_ba.T, q2, preferred_element_type=jnp.float32)
+            )
+            dh2_ref[csl, :] += (
+                jnp.dot(p_ab.T, q1, preferred_element_type=jnp.float32)
+                + jnp.dot(p_bb.T, q2, preferred_element_type=jnp.float32)
+            )
+            return dq1, dq2
+
+        dq1, dq2 = jax.lax.fori_loop(0, n_col_tiles, col_step, (dq1, dq2))
+        rsl = pl.ds(row0, ROW_TILE)
+        dh1_ref[rsl, :] += dq1
+        dh2_ref[rsl, :] += dq2
+
+    dh1, dh2 = pl.pallas_call(
+        kernel,
+        out_shape=(jax.ShapeDtypeStruct((b, d), jnp.float32),
+                   jax.ShapeDtypeStruct((b, d), jnp.float32)),
+        grid=(n_row_tiles,),
+        in_specs=[pl.BlockSpec(memory_space=pltpu.VMEM)] * 6,
+        out_specs=(pl.BlockSpec(memory_space=pltpu.VMEM),
+                   pl.BlockSpec(memory_space=pltpu.VMEM)),
+        interpret=interpret,
+    )(h1, h2, m_a, l_a, m_b, l_b)
+    # identity terms
+    dh1 = (dh1 - 2.0 * h2) / temperature
+    dh2 = (dh2 - 2.0 * h1) / temperature
+    return dh1, dh2
+
+
+def _ntxent_pallas_tpu_legacy(hidden, temperature, interpret=False):
+    """Single-output fused loss kernel (kept for the loss-only wrapper)."""
     from jax.experimental import pallas as pl
     from jax.experimental.pallas import tpu as pltpu
 
@@ -112,11 +285,20 @@ def _ntxent_pallas_tpu(hidden, temperature):
     return jnp.mean(losses)
 
 
+def _use_pallas() -> bool:
+    return any(d.platform == "tpu" for d in jax.devices())
+
+
+def _normalize_with_residual(hidden):
+    norm = jnp.linalg.norm(hidden, axis=-1, keepdims=True).clip(1e-12)
+    return hidden / norm, norm
+
+
 @functools.partial(jax.custom_vjp, nondiff_argnums=(1, 2))
 def ntxent_loss_fused(hidden, hidden_norm: bool = True, temperature: float = 1.0):
-    """Fused scalar NT-Xent loss.  Forward avoids logits materialization on
-    TPU; backward uses the (XLA-fused) dense recompute — still tile-local
-    under GSPMD."""
+    """Fused scalar NT-Xent loss.  On TPU both forward AND backward stream
+    column tiles of the similarity matrix (no (2N)^2 logits ever hit HBM);
+    elsewhere falls back to the dense reference math."""
     loss, _, _ = ntxent_ref.add_contrastive_loss(
         hidden, hidden_norm=hidden_norm, temperature=temperature
     )
@@ -124,19 +306,41 @@ def ntxent_loss_fused(hidden, hidden_norm: bool = True, temperature: float = 1.0
 
 
 def _fused_fwd(hidden, hidden_norm, temperature):
-    # Forward via the Pallas streaming kernel on TPU (dense fallback
-    # elsewhere); residual is just the embeddings.
-    return add_contrastive_loss_pallas(hidden, hidden_norm, temperature), hidden
-
-
-def _fused_bwd(hidden_norm, temperature, hidden, g):
-    def f(h):
+    hidden = hidden.astype(jnp.float32)
+    if not _use_pallas():
         loss, _, _ = ntxent_ref.add_contrastive_loss(
-            h, hidden_norm=hidden_norm, temperature=temperature
+            hidden, hidden_norm=hidden_norm, temperature=temperature
         )
-        return loss
+        return loss, (hidden, None)
+    hn, _ = _normalize_with_residual(hidden) if hidden_norm else (hidden, None)
+    h1, h2 = jnp.split(hn, 2, axis=0)
+    loss_vec, m_a, l_a, m_b, l_b = _ntxent_pallas_fwd(h1, h2, temperature)
+    return jnp.mean(loss_vec), (hidden, (m_a, l_a, m_b, l_b))
 
-    return (g * jax.grad(f)(hidden),)
+
+def _fused_bwd(hidden_norm, temperature, residuals, g):
+    hidden, lse_state = residuals
+    if lse_state is None:  # dense fallback path
+        def f(h):
+            loss, _, _ = ntxent_ref.add_contrastive_loss(
+                h, hidden_norm=hidden_norm, temperature=temperature
+            )
+            return loss
+
+        return (g * jax.grad(f)(hidden),)
+
+    m_a, l_a, m_b, l_b = lse_state
+    hn, norm = _normalize_with_residual(hidden) if hidden_norm else (hidden, None)
+    h1, h2 = jnp.split(hn, 2, axis=0)
+    b = h1.shape[0]
+    dh1, dh2 = _ntxent_pallas_bwd(h1, h2, m_a, l_a, m_b, l_b, temperature)
+    dhn = jnp.concatenate([dh1, dh2], axis=0) * (g / b)
+    if hidden_norm:
+        # h = x / ||x||  =>  dx = (dh - h * <h, dh>) / ||x||
+        dhidden = (dhn - hn * jnp.sum(hn * dhn, axis=-1, keepdims=True)) / norm
+    else:
+        dhidden = dhn
+    return (dhidden,)
 
 
 ntxent_loss_fused.defvjp(_fused_fwd, _fused_bwd)
@@ -148,10 +352,9 @@ def add_contrastive_loss_pallas(hidden, hidden_norm=True, temperature=1.0):
     hidden = hidden.astype(jnp.float32)
     if hidden_norm:
         hidden = hidden / jnp.linalg.norm(hidden, axis=-1, keepdims=True).clip(1e-12)
-    on_tpu = any(d.platform == "tpu" for d in jax.devices())
-    if on_tpu:
+    if _use_pallas():
         try:
-            return _ntxent_pallas_tpu(hidden, temperature)
+            return _ntxent_pallas_tpu_legacy(hidden, temperature)
         except Exception:  # pragma: no cover - fall back if Mosaic rejects
             pass
     loss, _, _ = ntxent_ref.add_contrastive_loss(
