@@ -40,6 +40,18 @@ class MetricLogger:
             self._jsonl.flush()
         return metrics
 
+    def log_images(self, step: int, images, tag: str = "image", max_images: int = 3):
+        """TensorBoard image summary of the first few inputs
+        (tf2/run.py:572-576 parity).  Accepts uint8 or float [0,1] NHWC."""
+        if self._tb is None:
+            return
+        imgs = np.asarray(jax.device_get(images))[:max_images]
+        if imgs.dtype == np.uint8:
+            imgs = imgs.astype(np.float32) / 255.0
+        imgs = np.clip(imgs, 0.0, 1.0).transpose(0, 3, 1, 2)  # NCHW for torch
+        self._tb.add_images(tag, imgs, step)
+        self._tb.flush()
+
     def close(self):
         if self._tb is not None:
             self._tb.close()

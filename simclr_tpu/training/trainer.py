@@ -122,10 +122,13 @@ def train(config: Config) -> TrainState:
             loop_sharding = NamedSharding(mesh, P(None, mesh_lib.DATA_AXIS))
             batches = {k: jax.device_put(v, loop_sharding) for k, v in stacked.items()}
             state, metrics = multi_fn(state, batches, base_rng)
+            last_images = stacked["image"][0]
             done = spl
         else:
-            batch = _put_batch(next(it), mesh)
+            raw = next(it)
+            batch = _put_batch(raw, mesh)
             state, metrics = step_fn(state, batch, base_rng)
+            last_images = raw["image"]
             done = 1
         cur_step += done
         ips = throughput.update(config.train_batch_size * done)
@@ -133,6 +136,8 @@ def train(config: Config) -> TrainState:
             fetched = logger.log(cur_step, metrics)
             if ips:
                 logger.log(cur_step, {"train/images_per_sec": ips})
+            # Image summary of the current inputs (tf2/run.py:572-576).
+            logger.log_images(cur_step, last_images)
             log.info("step %d/%d loss=%.4f ips=%s", cur_step, total_steps,
                      fetched.get("train/total_loss", float("nan")),
                      f"{ips:.1f}" if ips else "n/a")
