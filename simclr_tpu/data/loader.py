@@ -63,15 +63,24 @@ class SyntheticDataset:
         self.num_classes = num_classes
         self.shape = _canvas_shape(config)
         self.batch_size = config.train_batch_size if is_training else config.eval_batch_size
+        self.start_step = 0
+
+    def set_start_step(self, step: int):
+        """Resume support: continue the batch sequence from ``step`` instead
+        of restarting at 0 (each batch is a stateless function of its index)."""
+        self.start_step = int(step)
 
     def __iter__(self) -> Iterator[dict]:
-        rng = np.random.RandomState(self.config.seed if self.is_training else self.config.seed + 1)
+        base = self.config.seed if self.is_training else self.config.seed + 1
         h, w, c = self.shape
+        idx = self.start_step
         while True:
+            rng = np.random.RandomState((base * 1000003 + idx) % (2 ** 31 - 1))
             yield {
                 "image": rng.randint(0, 256, size=(self.batch_size, h, w, c), dtype=np.uint8),
                 "label": rng.randint(0, self.num_classes, size=(self.batch_size,)).astype(np.int32),
             }
+            idx += 1
 
 
 # ---------------------------------------------------------------------------
@@ -97,16 +106,28 @@ class ArrayDataset:
         self.is_training = is_training
         self.seed = seed
         self.num_examples = len(images)
+        self.start_step = 0
+
+    def set_start_step(self, step: int):
+        """Resume support: continue mid-epoch from global step ``step``
+        (per-epoch permutations are stateless functions of the epoch index,
+        so any step's batch is reachable without replaying prior epochs)."""
+        self.start_step = int(step)
 
     def __iter__(self) -> Iterator[dict]:
         n, bs = self.num_examples, self.batch_size
         if self.is_training:
-            rng = np.random.RandomState(self.seed)
+            bpe = max(1, n // bs)  # batches per epoch (drop remainder)
+            epoch = self.start_step // bpe
+            offset = self.start_step % bpe
             while True:
+                rng = np.random.RandomState((self.seed * 9973 + epoch) % (2 ** 31 - 1))
                 perm = rng.permutation(n)
-                for i in range(0, n - bs + 1, bs):  # drop remainder
-                    idx = perm[i:i + bs]
+                for b in range(offset, bpe):
+                    idx = perm[b * bs:(b + 1) * bs]
                     yield {"image": self.images[idx], "label": self.labels[idx]}
+                offset = 0
+                epoch += 1
         else:
             for i in range(0, n, bs):
                 idx = np.arange(i, min(i + bs, n))
@@ -133,19 +154,48 @@ class TFDSStream:
         import tensorflow as tf
         import tensorflow_datasets as tfds
 
+        from simclr_tpu.data import subsets as subsets_lib
+
         name = config.dataset.removeprefix("tfds:")
-        builder = tfds.builder(name, data_dir=config.data_dir)
-        builder.download_and_prepare()
+        # Semi-supervised subsets (C18): prefer the dedicated
+        # imagenet2012_subset builder; fall back to filtering plain
+        # imagenet2012 by the vendored ID lists when it is unavailable.
+        pct = subsets_lib.parse_subset_pct(name)
+        subset_fallback = False
+        try:
+            builder = tfds.builder(name, data_dir=config.data_dir)
+            builder.download_and_prepare()
+        except Exception:
+            if pct is None:
+                raise
+            builder = tfds.builder("imagenet2012", data_dir=config.data_dir)
+            builder.download_and_prepare()
+            subset_fallback = True
         split = config.train_split if is_training else config.eval_split
-        self.num_examples = builder.info.splits[split].num_examples
+        filter_ids = is_training and subset_fallback and split.startswith("train")
+        if filter_ids:
+            self.num_examples = subsets_lib._EXPECTED_COUNTS[pct]
+        else:
+            self.num_examples = builder.info.splits[split].num_examples
         self.num_classes = builder.info.features["label"].num_classes
         h, w, _ = _canvas_shape(config)
         bs = config.train_batch_size if is_training else config.eval_batch_size
 
         import jax
 
-        ds = builder.as_dataset(split=split, shuffle_files=is_training,
-                                as_supervised=True)
+        if filter_ids:
+            ids = sorted(subsets_lib.load_subset_ids(pct))
+            table = tf.lookup.StaticHashTable(
+                tf.lookup.KeyValueTensorInitializer(
+                    tf.constant(ids), tf.ones(len(ids), tf.bool)),
+                default_value=False,
+            )
+            ds = builder.as_dataset(split=split, shuffle_files=is_training)
+            ds = ds.filter(lambda ex: table.lookup(ex["file_name"]))
+            ds = ds.map(lambda ex: (ex["image"], ex["label"]))
+        else:
+            ds = builder.as_dataset(split=split, shuffle_files=is_training,
+                                    as_supervised=True)
         if jax.process_count() > 1:
             ds = ds.shard(jax.process_count(), jax.process_index())
         if config.cache_dataset:
@@ -163,13 +213,32 @@ class TFDSStream:
 
         ds = ds.map(map_fn, num_parallel_calls=tf.data.AUTOTUNE)
         ds = ds.batch(bs, drop_remainder=is_training)
-        self._ds = ds.prefetch(tf.data.AUTOTUNE)
+        self._ds = ds
         self._bs = bs
+        self._is_training = is_training
+        self._skip_batches = 0
+
+    def set_start_step(self, step: int):
+        """Resume support: fast-forward the (deterministic, seeded) stream by
+        the restored step's position within its epoch.  Exact continuation of
+        a shuffled infinite stream would require replaying ``step`` batches;
+        skipping ``step % steps_per_epoch`` restores the epoch phase — the
+        property that matters (a resumed run must not repeat early-epoch
+        order) — at bounded startup cost."""
+        if not self._is_training or step <= 0:
+            return
+        steps_per_epoch = max(1, self.num_examples // self._bs)
+        self._skip_batches = int(step) % steps_per_epoch
 
     def __iter__(self) -> Iterator[dict]:
+        import tensorflow as tf
         import tensorflow_datasets as tfds
 
-        for image, label in tfds.as_numpy(self._ds):
+        ds = self._ds
+        if self._skip_batches:
+            ds = ds.skip(self._skip_batches)
+        ds = ds.prefetch(tf.data.AUTOTUNE)
+        for image, label in tfds.as_numpy(ds):
             if len(label) < self._bs:  # pad final eval batch
                 pad = self._bs - len(label)
                 image = np.concatenate([image, np.repeat(image[:1], pad, 0)])
@@ -201,6 +270,44 @@ def shard_for_process(images: np.ndarray, labels: np.ndarray):
     return images[lo:hi], labels[lo:hi]
 
 
+def make_array_pipeline(config: Config, images: np.ndarray, labels: np.ndarray,
+                        batch_size: int, is_training: bool):
+    """Dispatch an in-memory array source to the configured host batching
+    backend (--input_pipeline): 'python' (ArrayDataset), 'native' (the C++
+    threaded ring-buffer pipeline, data/native/pipeline.cc) or 'grain'.
+    Native/grain degrade to the python backend with a warning when their
+    runtime is unavailable on this host."""
+    import logging
+
+    kind = config.input_pipeline
+    if kind == "native":
+        try:
+            from simclr_tpu.data.native_pipeline import (
+                NativeArrayPipeline, NativePipelineUnavailable)
+
+            return NativeArrayPipeline(images, labels, batch_size, is_training,
+                                       seed=config.seed)
+        except Exception as e:  # NativePipelineUnavailable or import error
+            logging.getLogger("simclr_tpu").warning(
+                "native input pipeline unavailable (%s); using python", e)
+    elif kind == "grain":
+        try:
+            import jax
+
+            from simclr_tpu.data.grain_loader import GrainArrayPipeline
+
+            return GrainArrayPipeline(
+                images, labels, batch_size, is_training, seed=config.seed,
+                shard_index=jax.process_index(), shard_count=jax.process_count(),
+            )
+        except ImportError as e:
+            logging.getLogger("simclr_tpu").warning(
+                "grain unavailable (%s); using python input pipeline", e)
+    elif kind != "python":
+        raise ValueError(f"unknown --input_pipeline={kind!r}")
+    return ArrayDataset(images, labels, batch_size, is_training, config.seed)
+
+
 def build_dataset(config: Config, is_training: bool):
     """Returns (iterable, DatasetInfo)."""
     name = config.dataset
@@ -208,21 +315,50 @@ def build_dataset(config: Config, is_training: bool):
         n_train = config.num_images_default or 4096
         n_eval = config.num_images_default or 1024
         num_classes = 10
-        ds = SyntheticDataset(config, is_training, n_train if is_training else n_eval, num_classes)
+        n = n_train if is_training else n_eval
         info = DatasetInfo(n_train, n_eval, num_classes, _canvas_shape(config))
+        if config.input_pipeline != "python":
+            # Drive the production (native/grain) batching path over a
+            # materialized synthetic array so the full pipeline is testable
+            # without dataset files.
+            h, w, c = _canvas_shape(config)
+            rng = np.random.RandomState(config.seed if is_training else config.seed + 1)
+            images = rng.randint(0, 256, size=(n, h, w, c), dtype=np.uint8)
+            labels = rng.randint(0, num_classes, size=(n,)).astype(np.int32)
+            bs = config.train_batch_size if is_training else config.eval_batch_size
+            return make_array_pipeline(config, images, labels, bs, is_training), info
+        ds = SyntheticDataset(config, is_training, n, num_classes)
         return ds, info
     if name.startswith("npz:"):
-        data = np.load(name[4:])
+        # 'npz:/path.npz' — arrays {'images','labels'[,'ids']};
+        # 'npz:/path.npz@1pct' / '@10pct' — train split filtered to the
+        # vendored ImageNet semi-supervised subset by the 'ids' array (C18).
+        path, pct = name[4:], None
+        for suffix, p in (("@1pct", 1), ("@10pct", 10)):
+            if path.endswith(suffix):
+                path, pct = path[: -len(suffix)], p
+        data = np.load(path)
         images, labels = data["images"], data["labels"]
         num_classes = int(labels.max()) + 1
         split = len(images) * 9 // 10
+        tr_images, tr_labels = images[:split], labels[:split]
+        if pct is not None:
+            from simclr_tpu.data import subsets as subsets_lib
+
+            if "ids" not in data:
+                raise ValueError(f"{path} has no 'ids' array; @{pct}pct "
+                                 "subset filtering needs per-example IDs")
+            keep = subsets_lib.subset_mask(data["ids"][:split],
+                                           subsets_lib.load_subset_ids(pct))
+            tr_images, tr_labels = tr_images[keep], tr_labels[keep]
         if is_training:
-            arr = ArrayDataset(images[:split], labels[:split],
-                               config.train_batch_size, True, config.seed)
+            arr = make_array_pipeline(config, tr_images, tr_labels,
+                                      config.train_batch_size, True)
         else:
-            arr = ArrayDataset(images[split:], labels[split:],
-                               config.eval_batch_size, False, config.seed)
-        info = DatasetInfo(split, len(images) - split, num_classes, images.shape[1:])
+            arr = make_array_pipeline(config, images[split:], labels[split:],
+                                      config.eval_batch_size, False)
+        info = DatasetInfo(len(tr_images), len(images) - split, num_classes,
+                           images.shape[1:])
         return arr, info
     # tfds path (cifar10, imagenet2012, imagenet2012_subset/1pct, ...)
     ds, num, num_classes = _load_tfds(config, is_training)

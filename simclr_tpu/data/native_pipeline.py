@@ -32,7 +32,7 @@ def _load_library():
     with _build_lock:
         if _lib is not None:
             return _lib
-        if not os.path.exists(_LIB) or os.path.getmtime(_LIB) < os.path.getmtime(_SRC):
+        def build():
             try:
                 subprocess.run(
                     ["g++", "-O3", "-std=c++17", "-shared", "-fPIC", "-pthread",
@@ -41,7 +41,19 @@ def _load_library():
                 )
             except (OSError, subprocess.CalledProcessError) as e:
                 raise NativePipelineUnavailable(f"cannot build native pipeline: {e}")
-        lib = ctypes.CDLL(_LIB)
+
+        if not os.path.exists(_LIB) or os.path.getmtime(_LIB) < os.path.getmtime(_SRC):
+            build()
+        try:
+            lib = ctypes.CDLL(_LIB)
+        except OSError:
+            # A stale .so from another host/toolchain: rebuild once, then
+            # give up gracefully (the documented fallback contract).
+            build()
+            try:
+                lib = ctypes.CDLL(_LIB)
+            except OSError as e:
+                raise NativePipelineUnavailable(f"cannot load native pipeline: {e}")
         lib.sp_create.restype = ctypes.c_void_p
         lib.sp_create.argtypes = [
             ctypes.c_void_p, ctypes.c_int64, ctypes.c_int64, ctypes.c_void_p,

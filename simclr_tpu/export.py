@@ -73,10 +73,17 @@ def load_serving(path: str) -> Callable[..., Dict[str, jnp.ndarray]]:
     model = SimCLRModel.from_config(config, num_classes)
 
     def serve(images, trainable: bool = False):
-        out = model.apply(
-            {"params": variables["params"], "batch_stats": variables["batch_stats"]},
-            images, train=False, return_endpoints=True,
-        )
+        """trainable=False: inference graph, frozen moving BN statistics.
+        trainable=True: training graph — BN normalizes with the current
+        batch's statistics (the reference's two concrete functions,
+        tf2/run.py:263-284; moving averages are discarded, the bundle's
+        variables are immutable)."""
+        var_in = {"params": variables["params"], "batch_stats": variables["batch_stats"]}
+        if trainable:
+            out, _ = model.apply(var_in, images, train=True,
+                                 return_endpoints=True, mutable=["batch_stats"])
+        else:
+            out = model.apply(var_in, images, train=False, return_endpoints=True)
         _, _, endpoints = out
         endpoints = dict(endpoints)
         endpoints["default"] = endpoints["final_avg_pool"]

@@ -39,6 +39,7 @@ def add_contrastive_loss(
     hidden_norm: bool = True,
     temperature: float = 1.0,
     axis_name: Optional[str] = None,
+    weights: Optional[jnp.ndarray] = None,
 ) -> Tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray]:
     """NT-Xent loss (tf2/objective.py:35-89).
 
@@ -50,6 +51,10 @@ def add_contrastive_loss(
       axis_name: if set, embeddings are per-device shards inside
         shard_map/pmap and negatives are all-gathered over this mesh axis;
         if None, ``hidden`` is already the global batch (GSPMD path).
+      weights: optional (B,) validity mask over image pairs (TF1 eval
+        padding, data.py:31-100).  Padded pairs are excluded from the mean
+        AND masked out of every row's negatives, so a padded final eval
+        batch reports the same loss as an unpadded one.
 
     Returns:
       (scalar loss, logits_ab, one-hot labels) — logits/labels feed the
@@ -84,12 +89,30 @@ def add_contrastive_loss(
     logits_ab = sim(hidden1, hidden2_large)
     logits_ba = sim(hidden2, hidden1_large)
 
+    if weights is not None:
+        w = weights.astype(jnp.float32)
+        if axis_name is not None:
+            w_large = jax.lax.all_gather(w, axis_name, axis=0, tiled=True)
+        else:
+            w_large = w
+        # Remove padded pairs from everyone's candidate set.  A valid row's
+        # positive column is its own (valid) pair, so positives survive.
+        col_mask = (1.0 - w_large) * LARGE_NUM
+        logits_aa = logits_aa - col_mask[None, :]
+        logits_bb = logits_bb - col_mask[None, :]
+        logits_ab = logits_ab - col_mask[None, :]
+        logits_ba = logits_ba - col_mask[None, :]
+
     def xent(logits):
         return -jnp.sum(labels * jax.nn.log_softmax(logits, axis=-1), axis=-1)
 
     loss_a = xent(jnp.concatenate([logits_ab, logits_aa], axis=1))
     loss_b = xent(jnp.concatenate([logits_ba, logits_bb], axis=1))
-    loss = jnp.mean(loss_a + loss_b)
+    if weights is not None:
+        w = weights.astype(jnp.float32)
+        loss = jnp.sum((loss_a + loss_b) * w) / jnp.clip(jnp.sum(w), 1.0)
+    else:
+        loss = jnp.mean(loss_a + loss_b)
     return loss, logits_ab, labels
 
 

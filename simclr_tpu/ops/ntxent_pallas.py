@@ -1,25 +1,41 @@
-"""Fused NT-Xent Pallas kernel (TPU) with custom VJP.
+"""Fused NT-Xent Pallas kernels (TPU) with custom VJP + SPMD integration.
 
 The reference materializes four (local x global) logits matrices plus their
 concatenations and feeds tf softmax-CE (objective.py:75-88).  At SimCLR
 scale (global batch 4096 => 8192 embeddings) that is 8192 x 16384 fp32 live
-in HBM for forward and again for backward.  This kernel streams column
+in HBM for forward and again for backward.  These kernels stream column
 tiles of the similarity matrix flash-attention-style: one pass computes the
-row-wise logsumexp online and the positive logit, so the loss is produced
+row-wise logsumexp online plus the positive logit, so the loss is produced
 without ever materializing logits; the backward pass recomputes tiles and
 accumulates embedding gradients directly.  HBM traffic drops from
 O(B * N_total) logits to O(B * D) embeddings.
 
-Public surface:
-  * ``add_contrastive_loss_pallas(hidden, hidden_norm, temperature)`` —
-    loss-only drop-in for objectives/ntxent.add_contrastive_loss; Pallas
-    streaming forward on TPU, dense reference math elsewhere.
-  * ``ntxent_loss_fused`` — custom-VJP wrapper: Pallas forward + dense
-    (XLA-fused, recompute-based) backward; enabled in the train step via
-    ``--use_fused_ntxent``.
+The kernels are **rectangular**: queries are the local row block
+(b_local, d), keys are the gathered global batch (b_global, d), and a scalar
+``row_offset`` places the self-mask / positive diagonal — exactly the
+reference's per-replica (local x global) tile structure with replica-offset
+labels (objective.py:64-80).  This is what lets the fused loss ride the
+shard_map path: ``lax.all_gather`` the normalized embeddings over the mesh
+axis, run the kernel on local rows, and ``psum`` the column-gradient block
+in the backward (the same collective the dense path's all_gather transpose
+inserts).
 
-Validated against the reference implementation in tests (CPU fallback) and
-on hardware (loss agreement to 1e-6 at b=256, d=128).
+Metrics come from kernel byproducts: the positive logit and the ab-block
+max give contrastive accuracy, and the ab-block online (lse, E[logit])
+pair gives the softmax entropy — no dense logits needed
+(reference metrics: tf2/run.py:534-549).
+
+Public surface:
+  * ``ntxent_fused_metrics(hidden, hidden_norm, temperature, axis_name)``
+    -> (loss, contrast_acc, contrast_entropy); custom VJP with the
+    streaming backward.  ``axis_name`` enables the sharded path inside
+    shard_map.
+  * ``ntxent_loss_fused(hidden, hidden_norm, temperature)`` — loss-only
+    wrapper (kept for compatibility).
+  * ``add_contrastive_loss_pallas`` — loss-only forward drop-in.
+
+Validated against the dense reference in interpret mode (CPU) and on
+hardware; see tests/test_ntxent_fused.py.
 """
 
 from __future__ import annotations
@@ -40,43 +56,51 @@ def _tiles(b):
     return row, col
 
 
-def _ntxent_pallas_fwd(h1, h2, temperature, interpret=False):
-    """Streaming forward: per-row losses + the logsumexp state (m, l) for
-    both directions, used as backward residuals."""
+def _ntxent_pallas_fwd(q1, q2, k1, k2, row_offset, temperature, interpret=False):
+    """Streaming forward over the (local x global) tile.
+
+    Returns per-local-row arrays (b_loc, 1):
+      loss, m_a, l_a, m_b, l_b   — concat-row logsumexp state (residuals),
+      m_ab, l_ab, t_ab           — ab-block-only stats for acc/entropy.
+    """
     from jax.experimental import pallas as pl
     from jax.experimental.pallas import tpu as pltpu
 
-    b, d = h1.shape
-    ROW_TILE, COL_TILE = _tiles(b)
-    n_row_tiles = b // ROW_TILE
-    n_col_tiles = b // COL_TILE
+    b_loc, d = q1.shape
+    b_glob = k1.shape[0]
+    ROW_TILE, _ = _tiles(b_loc)
+    _, COL_TILE = _tiles(b_glob)
+    n_row_tiles = b_loc // ROW_TILE
+    n_col_tiles = b_glob // COL_TILE
 
-    def kernel(h1_ref, h2_ref, loss_ref, ma_ref, la_ref, mb_ref, lb_ref):
+    def kernel(off_ref, q1_ref, q2_ref, k1_ref, k2_ref,
+               loss_ref, ma_ref, la_ref, mb_ref, lb_ref,
+               mab_ref, lab_ref, tab_ref):
         i = pl.program_id(0)
         row0 = i * ROW_TILE
-        q1 = h1_ref[pl.ds(row0, ROW_TILE), :]
-        q2 = h2_ref[pl.ds(row0, ROW_TILE), :]
+        q1t = q1_ref[pl.ds(row0, ROW_TILE), :]
+        q2t = q2_ref[pl.ds(row0, ROW_TILE), :]
 
         neg_inf = jnp.full((ROW_TILE, 1), -jnp.inf, jnp.float32)
-        m_a, m_b = neg_inf, neg_inf
-        l_a = jnp.zeros((ROW_TILE, 1), jnp.float32)
-        l_b = jnp.zeros((ROW_TILE, 1), jnp.float32)
-        p_a = jnp.zeros((ROW_TILE, 1), jnp.float32)
-        p_b = jnp.zeros((ROW_TILE, 1), jnp.float32)
-        row_ids = row0 + jax.lax.broadcasted_iota(jnp.int32, (ROW_TILE, COL_TILE), 0)
+        zeros = jnp.zeros((ROW_TILE, 1), jnp.float32)
+        m_a, m_b, m_ab = neg_inf, neg_inf, neg_inf
+        l_a, l_b, l_ab, t_ab = zeros, zeros, zeros, zeros
+        p_a, p_b = zeros, zeros
+        row_ids = (off_ref[0] + row0
+                   + jax.lax.broadcasted_iota(jnp.int32, (ROW_TILE, COL_TILE), 0))
 
         def col_step(j, carry):
-            m_a, l_a, m_b, l_b, p_a, p_b = carry
+            m_a, l_a, m_b, l_b, p_a, p_b, m_ab, l_ab, t_ab = carry
             col0 = j * COL_TILE
-            k1 = h1_ref[pl.ds(col0, COL_TILE), :]
-            k2 = h2_ref[pl.ds(col0, COL_TILE), :]
+            k1t = k1_ref[pl.ds(col0, COL_TILE), :]
+            k2t = k2_ref[pl.ds(col0, COL_TILE), :]
             col_ids = col0 + jax.lax.broadcasted_iota(jnp.int32, (ROW_TILE, COL_TILE), 1)
             diag = (row_ids == col_ids).astype(jnp.float32)
 
-            s_ab = jnp.dot(q1, k2.T, preferred_element_type=jnp.float32) / temperature
-            s_aa = jnp.dot(q1, k1.T, preferred_element_type=jnp.float32) / temperature - diag * LARGE_NUM
-            s_ba = jnp.dot(q2, k1.T, preferred_element_type=jnp.float32) / temperature
-            s_bb = jnp.dot(q2, k2.T, preferred_element_type=jnp.float32) / temperature - diag * LARGE_NUM
+            s_ab = jnp.dot(q1t, k2t.T, preferred_element_type=jnp.float32) / temperature
+            s_aa = jnp.dot(q1t, k1t.T, preferred_element_type=jnp.float32) / temperature - diag * LARGE_NUM
+            s_ba = jnp.dot(q2t, k1t.T, preferred_element_type=jnp.float32) / temperature
+            s_bb = jnp.dot(q2t, k2t.T, preferred_element_type=jnp.float32) / temperature - diag * LARGE_NUM
             p_a = p_a + jnp.sum(s_ab * diag, axis=1, keepdims=True)
             p_b = p_b + jnp.sum(s_ba * diag, axis=1, keepdims=True)
 
@@ -87,10 +111,20 @@ def _ntxent_pallas_fwd(h1, h2, temperature, interpret=False):
 
             m_a, l_a = lse_update(*lse_update(m_a, l_a, s_ab), s_aa)
             m_b, l_b = lse_update(*lse_update(m_b, l_b, s_ba), s_bb)
-            return m_a, l_a, m_b, l_b, p_a, p_b
 
-        m_a, l_a, m_b, l_b, p_a, p_b = jax.lax.fori_loop(
-            0, n_col_tiles, col_step, (m_a, l_a, m_b, l_b, p_a, p_b)
+            # ab-block-only stats: online (max, sum e^s, sum e^s * s) giving
+            # the ab softmax's lse and expected logit for acc/entropy.
+            new_m = jnp.maximum(jnp.max(s_ab, axis=1, keepdims=True), m_ab)
+            alpha = jnp.exp(m_ab - new_m)
+            e = jnp.exp(s_ab - new_m)
+            l_ab = l_ab * alpha + jnp.sum(e, axis=1, keepdims=True)
+            t_ab = t_ab * alpha + jnp.sum(e * s_ab, axis=1, keepdims=True)
+            m_ab = new_m
+            return m_a, l_a, m_b, l_b, p_a, p_b, m_ab, l_ab, t_ab
+
+        m_a, l_a, m_b, l_b, p_a, p_b, m_ab, l_ab, t_ab = jax.lax.fori_loop(
+            0, n_col_tiles, col_step,
+            (m_a, l_a, m_b, l_b, p_a, p_b, m_ab, l_ab, t_ab),
         )
         sl = pl.ds(row0, ROW_TILE)
         loss_ref[sl, :] = (m_a + jnp.log(l_a) - p_a) + (m_b + jnp.log(l_b) - p_b)
@@ -98,54 +132,65 @@ def _ntxent_pallas_fwd(h1, h2, temperature, interpret=False):
         la_ref[sl, :] = l_a
         mb_ref[sl, :] = m_b
         lb_ref[sl, :] = l_b
+        mab_ref[sl, :] = m_ab
+        lab_ref[sl, :] = l_ab
+        tab_ref[sl, :] = t_ab
 
-    out = [jax.ShapeDtypeStruct((b, 1), jnp.float32) for _ in range(5)]
-    specs = [pl.BlockSpec(memory_space=pltpu.VMEM) for _ in range(5)]
+    out = [jax.ShapeDtypeStruct((b_loc, 1), jnp.float32) for _ in range(8)]
+    specs = [pl.BlockSpec(memory_space=pltpu.VMEM) for _ in range(8)]
     return pl.pallas_call(
         kernel,
         out_shape=tuple(out),
         grid=(n_row_tiles,),
-        in_specs=[pl.BlockSpec(memory_space=pltpu.VMEM)] * 2,
+        in_specs=[pl.BlockSpec(memory_space=pltpu.SMEM)]
+        + [pl.BlockSpec(memory_space=pltpu.VMEM)] * 4,
         out_specs=tuple(specs),
         interpret=interpret,
-    )(h1, h2)
+    )(jnp.asarray(row_offset, jnp.int32).reshape(1), q1, q2, k1, k2)
 
 
-def _ntxent_pallas_bwd(h1, h2, m_a, l_a, m_b, l_b, temperature, interpret=False):
+def _ntxent_pallas_bwd(q1, q2, k1, k2, row_offset, m_a, l_a, m_b, l_b,
+                       temperature, interpret=False):
     """Streaming backward over recomputed probability tiles.
 
     With P_ab/P_aa = row-softmax of [s_ab|s_aa] (direction a) and P_ba/P_bb
-    (direction b), the per-row-sum loss gradients are
-        dh1 = [P_ab @ h2 + (P_aa + P_aa^T) @ h1 + P_ba^T @ h2 - 2 h2] / T
-        dh2 = [P_ba @ h1 + (P_bb + P_bb^T) @ h2 + P_ab^T @ h1 - 2 h1] / T
-    (identity terms folded outside the kernel; caller applies g/B and the
-    L2-normalization backward).  Column contributions accumulate into the
-    full output refs across the sequential TPU grid.
+    (direction b) over the per-row-SUM losses (caller applies g/B and the
+    L2-normalization backward):
+      row path  (grad wrt queries):  dq1 = [P_ab @ k2 + P_aa @ k1 - pos2] / T
+      col path  (grad wrt keys):     dk1 = [P_aa^T @ q1 + P_ba^T @ q2 - pos2] / T
+    where the positive-pair identity terms are folded outside the kernel.
+    Returns (dq1, dq2) of shape (b_loc, d) and (dk1, dk2) of shape
+    (b_glob, d); the caller psums dk over replicas and adds the local block.
     """
     from jax.experimental import pallas as pl
     from jax.experimental.pallas import tpu as pltpu
 
-    b, d = h1.shape
-    ROW_TILE, COL_TILE = _tiles(b)
-    n_row_tiles = b // ROW_TILE
-    n_col_tiles = b // COL_TILE
+    b_loc, d = q1.shape
+    b_glob = k1.shape[0]
+    ROW_TILE, _ = _tiles(b_loc)
+    _, COL_TILE = _tiles(b_glob)
+    n_row_tiles = b_loc // ROW_TILE
+    n_col_tiles = b_glob // COL_TILE
 
-    def kernel(h1_ref, h2_ref, ma_ref, la_ref, mb_ref, lb_ref, dh1_ref, dh2_ref):
+    def kernel(off_ref, q1_ref, q2_ref, k1_ref, k2_ref,
+               ma_ref, la_ref, mb_ref, lb_ref,
+               dq1_ref, dq2_ref, dk1_ref, dk2_ref):
         i = pl.program_id(0)
 
         @pl.when(i == 0)
         def _():
-            dh1_ref[...] = jnp.zeros_like(dh1_ref)
-            dh2_ref[...] = jnp.zeros_like(dh2_ref)
+            dk1_ref[...] = jnp.zeros_like(dk1_ref)
+            dk2_ref[...] = jnp.zeros_like(dk2_ref)
 
         row0 = i * ROW_TILE
-        q1 = h1_ref[pl.ds(row0, ROW_TILE), :]
-        q2 = h2_ref[pl.ds(row0, ROW_TILE), :]
+        q1t = q1_ref[pl.ds(row0, ROW_TILE), :]
+        q2t = q2_ref[pl.ds(row0, ROW_TILE), :]
         m_a = ma_ref[pl.ds(row0, ROW_TILE), :]
         l_a = la_ref[pl.ds(row0, ROW_TILE), :]
         m_b = mb_ref[pl.ds(row0, ROW_TILE), :]
         l_b = lb_ref[pl.ds(row0, ROW_TILE), :]
-        row_ids = row0 + jax.lax.broadcasted_iota(jnp.int32, (ROW_TILE, COL_TILE), 0)
+        row_ids = (off_ref[0] + row0
+                   + jax.lax.broadcasted_iota(jnp.int32, (ROW_TILE, COL_TILE), 0))
 
         dq1 = jnp.zeros((ROW_TILE, d), jnp.float32)
         dq2 = jnp.zeros((ROW_TILE, d), jnp.float32)
@@ -153,136 +198,57 @@ def _ntxent_pallas_bwd(h1, h2, m_a, l_a, m_b, l_b, temperature, interpret=False)
         def col_step(j, carry):
             dq1, dq2 = carry
             col0 = j * COL_TILE
-            k1 = h1_ref[pl.ds(col0, COL_TILE), :]
-            k2 = h2_ref[pl.ds(col0, COL_TILE), :]
+            k1t = k1_ref[pl.ds(col0, COL_TILE), :]
+            k2t = k2_ref[pl.ds(col0, COL_TILE), :]
             col_ids = col0 + jax.lax.broadcasted_iota(jnp.int32, (ROW_TILE, COL_TILE), 1)
             diag = (row_ids == col_ids).astype(jnp.float32)
 
-            s_ab = jnp.dot(q1, k2.T, preferred_element_type=jnp.float32) / temperature
-            s_aa = jnp.dot(q1, k1.T, preferred_element_type=jnp.float32) / temperature - diag * LARGE_NUM
-            s_ba = jnp.dot(q2, k1.T, preferred_element_type=jnp.float32) / temperature
-            s_bb = jnp.dot(q2, k2.T, preferred_element_type=jnp.float32) / temperature - diag * LARGE_NUM
+            s_ab = jnp.dot(q1t, k2t.T, preferred_element_type=jnp.float32) / temperature
+            s_aa = jnp.dot(q1t, k1t.T, preferred_element_type=jnp.float32) / temperature - diag * LARGE_NUM
+            s_ba = jnp.dot(q2t, k1t.T, preferred_element_type=jnp.float32) / temperature
+            s_bb = jnp.dot(q2t, k2t.T, preferred_element_type=jnp.float32) / temperature - diag * LARGE_NUM
 
             p_ab = jnp.exp(s_ab - m_a) / l_a
             p_aa = jnp.exp(s_aa - m_a) / l_a
             p_ba = jnp.exp(s_ba - m_b) / l_b
             p_bb = jnp.exp(s_bb - m_b) / l_b
 
-            # row accumulations
-            dq1 = dq1 + jnp.dot(p_ab, k2, preferred_element_type=jnp.float32) \
-                      + jnp.dot(p_aa, k1, preferred_element_type=jnp.float32)
-            dq2 = dq2 + jnp.dot(p_ba, k1, preferred_element_type=jnp.float32) \
-                      + jnp.dot(p_bb, k2, preferred_element_type=jnp.float32)
+            # row accumulations (grad wrt queries)
+            dq1 = dq1 + jnp.dot(p_ab, k2t, preferred_element_type=jnp.float32) \
+                      + jnp.dot(p_aa, k1t, preferred_element_type=jnp.float32)
+            dq2 = dq2 + jnp.dot(p_ba, k1t, preferred_element_type=jnp.float32) \
+                      + jnp.dot(p_bb, k2t, preferred_element_type=jnp.float32)
 
-            # column accumulations into the global outputs
+            # column accumulations (grad wrt keys) into the global outputs
             csl = pl.ds(col0, COL_TILE)
-            dh1_ref[csl, :] += (
-                jnp.dot(p_aa.T, q1, preferred_element_type=jnp.float32)
-                + jnp.dot(p_ba.T, q2, preferred_element_type=jnp.float32)
+            dk1_ref[csl, :] += (
+                jnp.dot(p_aa.T, q1t, preferred_element_type=jnp.float32)
+                + jnp.dot(p_ba.T, q2t, preferred_element_type=jnp.float32)
             )
-            dh2_ref[csl, :] += (
-                jnp.dot(p_ab.T, q1, preferred_element_type=jnp.float32)
-                + jnp.dot(p_bb.T, q2, preferred_element_type=jnp.float32)
+            dk2_ref[csl, :] += (
+                jnp.dot(p_ab.T, q1t, preferred_element_type=jnp.float32)
+                + jnp.dot(p_bb.T, q2t, preferred_element_type=jnp.float32)
             )
             return dq1, dq2
 
         dq1, dq2 = jax.lax.fori_loop(0, n_col_tiles, col_step, (dq1, dq2))
         rsl = pl.ds(row0, ROW_TILE)
-        dh1_ref[rsl, :] += dq1
-        dh2_ref[rsl, :] += dq2
+        dq1_ref[rsl, :] = dq1
+        dq2_ref[rsl, :] = dq2
 
-    dh1, dh2 = pl.pallas_call(
+    return pl.pallas_call(
         kernel,
-        out_shape=(jax.ShapeDtypeStruct((b, d), jnp.float32),
-                   jax.ShapeDtypeStruct((b, d), jnp.float32)),
+        out_shape=(jax.ShapeDtypeStruct((b_loc, d), jnp.float32),
+                   jax.ShapeDtypeStruct((b_loc, d), jnp.float32),
+                   jax.ShapeDtypeStruct((b_glob, d), jnp.float32),
+                   jax.ShapeDtypeStruct((b_glob, d), jnp.float32)),
         grid=(n_row_tiles,),
-        in_specs=[pl.BlockSpec(memory_space=pltpu.VMEM)] * 6,
-        out_specs=(pl.BlockSpec(memory_space=pltpu.VMEM),
-                   pl.BlockSpec(memory_space=pltpu.VMEM)),
+        in_specs=[pl.BlockSpec(memory_space=pltpu.SMEM)]
+        + [pl.BlockSpec(memory_space=pltpu.VMEM)] * 8,
+        out_specs=tuple(pl.BlockSpec(memory_space=pltpu.VMEM) for _ in range(4)),
         interpret=interpret,
-    )(h1, h2, m_a, l_a, m_b, l_b)
-    # identity terms
-    dh1 = (dh1 - 2.0 * h2) / temperature
-    dh2 = (dh2 - 2.0 * h1) / temperature
-    return dh1, dh2
-
-
-def _ntxent_pallas_tpu_legacy(hidden, temperature, interpret=False):
-    """Single-output fused loss kernel (kept for the loss-only wrapper)."""
-    from jax.experimental import pallas as pl
-    from jax.experimental.pallas import tpu as pltpu
-
-    h1, h2 = jnp.split(hidden, 2, axis=0)
-    b, d = h1.shape
-
-    # Tile sizes aligned to MXU; column tiles stream over the global batch.
-    ROW_TILE = min(128, b) if b % min(128, b) == 0 else b
-    COL_TILE = min(512, b) if b % min(512, b) == 0 else b
-    n_row_tiles = b // ROW_TILE
-    n_col_tiles = b // COL_TILE
-
-    def kernel(h1_ref, h2_ref, loss_ref):
-        i = pl.program_id(0)
-        row0 = i * ROW_TILE
-        q1 = h1_ref[pl.ds(row0, ROW_TILE), :]
-        q2 = h2_ref[pl.ds(row0, ROW_TILE), :]
-
-        neg_inf = jnp.full((ROW_TILE, 1), -jnp.inf, jnp.float32)
-        # online logsumexp state for (dir_a over [ab|aa]) and (dir_b over [ba|bb])
-        m_a = neg_inf
-        l_a = jnp.zeros((ROW_TILE, 1), jnp.float32)
-        m_b = neg_inf
-        l_b = jnp.zeros((ROW_TILE, 1), jnp.float32)
-        p_a = jnp.zeros((ROW_TILE, 1), jnp.float32)
-        p_b = jnp.zeros((ROW_TILE, 1), jnp.float32)
-
-        row_ids = row0 + jax.lax.broadcasted_iota(jnp.int32, (ROW_TILE, COL_TILE), 0)
-
-        def col_step(j, carry):
-            m_a, l_a, m_b, l_b, p_a, p_b = carry
-            col0 = j * COL_TILE
-            k1 = h1_ref[pl.ds(col0, COL_TILE), :]
-            k2 = h2_ref[pl.ds(col0, COL_TILE), :]
-            col_ids = col0 + jax.lax.broadcasted_iota(jnp.int32, (ROW_TILE, COL_TILE), 1)
-            diag = (row_ids == col_ids).astype(jnp.float32)
-
-            s_ab = jnp.dot(q1, k2.T, preferred_element_type=jnp.float32) / temperature
-            s_aa = jnp.dot(q1, k1.T, preferred_element_type=jnp.float32) / temperature - diag * LARGE_NUM
-            s_ba = jnp.dot(q2, k1.T, preferred_element_type=jnp.float32) / temperature
-            s_bb = jnp.dot(q2, k2.T, preferred_element_type=jnp.float32) / temperature - diag * LARGE_NUM
-
-            # positive logit: diagonal of ab / ba
-            p_a = p_a + jnp.sum(s_ab * diag, axis=1, keepdims=True)
-            p_b = p_b + jnp.sum(s_ba * diag, axis=1, keepdims=True)
-
-            def lse_update(m, l, s):
-                tile_max = jnp.maximum(jnp.max(s, axis=1, keepdims=True), m)
-                l = l * jnp.exp(m - tile_max) + jnp.sum(jnp.exp(s - tile_max), axis=1, keepdims=True)
-                return tile_max, l
-
-            m_a, l_a = lse_update(*lse_update(m_a, l_a, s_ab), s_aa)
-            m_b, l_b = lse_update(*lse_update(m_b, l_b, s_ba), s_bb)
-            return m_a, l_a, m_b, l_b, p_a, p_b
-
-        m_a, l_a, m_b, l_b, p_a, p_b = jax.lax.fori_loop(
-            0, n_col_tiles, col_step, (m_a, l_a, m_b, l_b, p_a, p_b)
-        )
-        loss_a = m_a + jnp.log(l_a) - p_a
-        loss_b = m_b + jnp.log(l_b) - p_b
-        loss_ref[pl.ds(row0, ROW_TILE), :] = loss_a + loss_b
-
-    losses = pl.pallas_call(
-        kernel,
-        out_shape=jax.ShapeDtypeStruct((b, 1), jnp.float32),
-        grid=(n_row_tiles,),
-        in_specs=[
-            pl.BlockSpec(memory_space=pltpu.VMEM),
-            pl.BlockSpec(memory_space=pltpu.VMEM),
-        ],
-        out_specs=pl.BlockSpec(memory_space=pltpu.VMEM),
-        scratch_shapes=[],
-    )(h1, h2)
-    return jnp.mean(losses)
+    )(jnp.asarray(row_offset, jnp.int32).reshape(1), q1, q2, k1, k2,
+      m_a, l_a, m_b, l_b)
 
 
 def _use_pallas() -> bool:
@@ -294,47 +260,106 @@ def _normalize_with_residual(hidden):
     return hidden / norm, norm
 
 
-@functools.partial(jax.custom_vjp, nondiff_argnums=(1, 2))
-def ntxent_loss_fused(hidden, hidden_norm: bool = True, temperature: float = 1.0):
-    """Fused scalar NT-Xent loss.  On TPU both forward AND backward stream
-    column tiles of the similarity matrix (no (2N)^2 logits ever hit HBM);
-    elsewhere falls back to the dense reference math."""
-    loss, _, _ = ntxent_ref.add_contrastive_loss(
-        hidden, hidden_norm=hidden_norm, temperature=temperature
+def _metrics_from_stats(loss_vec, p_a, m_ab, l_ab, t_ab):
+    """Contrastive accuracy/entropy from ab-block byproducts.
+
+    acc: the positive logit equals the ab-row max iff the diagonal wins the
+    argmax (reference contrastive accuracy over logits_ab).
+    entropy: H = lse_ab - E_p[logit] with lse = m + log l, E_p = t / l."""
+    correct = (p_a >= m_ab).astype(jnp.float32)
+    lse = m_ab + jnp.log(l_ab)
+    entropy = lse - t_ab / l_ab
+    return jnp.mean(correct), jnp.mean(entropy)
+
+
+def _dense_loss_metrics(hidden, hidden_norm, temperature, axis_name):
+    loss, logits_ab, labels = ntxent_ref.add_contrastive_loss(
+        hidden, hidden_norm=hidden_norm, temperature=temperature,
+        axis_name=axis_name,
     )
-    return loss
+    acc = ntxent_ref.contrastive_accuracy(logits_ab, labels)
+    ent = ntxent_ref.contrastive_entropy(logits_ab)
+    return loss, acc, ent
 
 
-def _fused_fwd(hidden, hidden_norm, temperature):
+@functools.partial(jax.custom_vjp, nondiff_argnums=(1, 2, 3))
+def ntxent_fused_metrics(hidden, hidden_norm: bool = True,
+                         temperature: float = 1.0, axis_name=None):
+    """Fused NT-Xent -> (loss, contrast_acc, contrast_entropy).
+
+    On TPU both forward AND backward stream column tiles of the similarity
+    matrix (no (2N)^2 logits ever hit HBM); elsewhere falls back to the
+    dense reference math.  With ``axis_name`` (inside shard_map) the
+    embeddings are all-gathered over the mesh axis and the kernel computes
+    only the local (rows x global) tile; the backward psums the
+    column-gradient block — the same collective pattern as the dense
+    sharded path (SURVEY.md N1 fused all-gather NT-Xent)."""
+    return _dense_loss_metrics(hidden, hidden_norm, temperature, axis_name)
+
+
+def _gather_keys(hn, axis_name):
+    h1, h2 = jnp.split(hn, 2, axis=0)
+    if axis_name is None:
+        return h1, h2, h1, h2, 0
+    k1 = jax.lax.all_gather(h1, axis_name, axis=0, tiled=True)
+    k2 = jax.lax.all_gather(h2, axis_name, axis=0, tiled=True)
+    off = jax.lax.axis_index(axis_name) * h1.shape[0]
+    return h1, h2, k1, k2, off
+
+
+def _fused_metrics_fwd(hidden, hidden_norm, temperature, axis_name):
     hidden = hidden.astype(jnp.float32)
     if not _use_pallas():
-        loss, _, _ = ntxent_ref.add_contrastive_loss(
-            hidden, hidden_norm=hidden_norm, temperature=temperature
-        )
-        return loss, (hidden, None)
+        out = _dense_loss_metrics(hidden, hidden_norm, temperature, axis_name)
+        return out, (hidden, None)
     hn, _ = _normalize_with_residual(hidden) if hidden_norm else (hidden, None)
-    h1, h2 = jnp.split(hn, 2, axis=0)
-    loss_vec, m_a, l_a, m_b, l_b = _ntxent_pallas_fwd(h1, h2, temperature)
-    return jnp.mean(loss_vec), (hidden, (m_a, l_a, m_b, l_b))
+    q1, q2, k1, k2, off = _gather_keys(hn, axis_name)
+    loss_vec, m_a, l_a, m_b, l_b, m_ab, l_ab, t_ab = _ntxent_pallas_fwd(
+        q1, q2, k1, k2, off, temperature)
+    # positive logit for the acc byproduct (diag of ab): q1 . k2[off+i]
+    pos = jnp.sum(q1 * jax.lax.dynamic_slice_in_dim(k2, off, q1.shape[0], 0),
+                  axis=-1, keepdims=True) / temperature
+    acc, ent = _metrics_from_stats(loss_vec, pos, m_ab, l_ab, t_ab)
+    return ((jnp.mean(loss_vec), acc, ent),
+            (hidden, (m_a, l_a, m_b, l_b)))
 
 
-def _fused_bwd(hidden_norm, temperature, residuals, g):
+def _fused_metrics_bwd(hidden_norm, temperature, axis_name, residuals, g):
+    g_loss = g[0]  # metric cotangents (g[1], g[2]) are not propagated
     hidden, lse_state = residuals
     if lse_state is None:  # dense fallback path
         def f(h):
             loss, _, _ = ntxent_ref.add_contrastive_loss(
-                h, hidden_norm=hidden_norm, temperature=temperature
+                h, hidden_norm=hidden_norm, temperature=temperature,
+                axis_name=axis_name,
             )
             return loss
 
-        return (g * jax.grad(f)(hidden),)
+        return (g_loss * jax.grad(f)(hidden),)
 
     m_a, l_a, m_b, l_b = lse_state
     hn, norm = _normalize_with_residual(hidden) if hidden_norm else (hidden, None)
-    h1, h2 = jnp.split(hn, 2, axis=0)
-    b = h1.shape[0]
-    dh1, dh2 = _ntxent_pallas_bwd(h1, h2, m_a, l_a, m_b, l_b, temperature)
-    dhn = jnp.concatenate([dh1, dh2], axis=0) * (g / b)
+    q1, q2, k1, k2, off = _gather_keys(hn, axis_name)
+    b_loc = q1.shape[0]
+    dq1, dq2, dk1, dk2 = _ntxent_pallas_bwd(
+        q1, q2, k1, k2, off, m_a, l_a, m_b, l_b, temperature)
+    if axis_name is None:
+        dh1 = dq1 + dk1
+        dh2 = dq2 + dk2
+    else:
+        # Column grads accumulate over every replica's rows — the transpose
+        # of the forward all_gather (psum), then slice our block.
+        dk1 = jax.lax.psum(dk1, axis_name)
+        dk2 = jax.lax.psum(dk2, axis_name)
+        dh1 = dq1 + jax.lax.dynamic_slice_in_dim(dk1, off, b_loc, 0)
+        dh2 = dq2 + jax.lax.dynamic_slice_in_dim(dk2, off, b_loc, 0)
+    # positive-pair identity terms: d/dq1 of -(q1 . k2_pos)/T twice (rows of
+    # both directions) = -2 k2_pos / T, and symmetrically for q2.
+    pos2 = jax.lax.dynamic_slice_in_dim(k2, off, b_loc, 0)
+    pos1 = jax.lax.dynamic_slice_in_dim(k1, off, b_loc, 0)
+    dh1 = (dh1 - 2.0 * pos2) / temperature
+    dh2 = (dh2 - 2.0 * pos1) / temperature
+    dhn = jnp.concatenate([dh1, dh2], axis=0) * (g_loss / b_loc)
     if hidden_norm:
         # h = x / ||x||  =>  dx = (dh - h * <h, dh>) / ||x||
         dhidden = (dhn - hn * jnp.sum(hn * dhn, axis=-1, keepdims=True)) / norm
@@ -343,7 +368,13 @@ def _fused_bwd(hidden_norm, temperature, residuals, g):
     return (dhidden,)
 
 
-ntxent_loss_fused.defvjp(_fused_fwd, _fused_bwd)
+ntxent_fused_metrics.defvjp(_fused_metrics_fwd, _fused_metrics_bwd)
+
+
+def ntxent_loss_fused(hidden, hidden_norm: bool = True, temperature: float = 1.0):
+    """Loss-only fused NT-Xent (compatibility wrapper)."""
+    loss, _, _ = ntxent_fused_metrics(hidden, hidden_norm, temperature, None)
+    return loss
 
 
 def add_contrastive_loss_pallas(hidden, hidden_norm=True, temperature=1.0):
@@ -354,7 +385,9 @@ def add_contrastive_loss_pallas(hidden, hidden_norm=True, temperature=1.0):
         hidden = hidden / jnp.linalg.norm(hidden, axis=-1, keepdims=True).clip(1e-12)
     if _use_pallas():
         try:
-            return _ntxent_pallas_tpu_legacy(hidden, temperature)
+            h1, h2 = jnp.split(hidden, 2, axis=0)
+            loss_vec = _ntxent_pallas_fwd(h1, h2, h1, h2, 0, temperature)[0]
+            return jnp.mean(loss_vec)
         except Exception:  # pragma: no cover - fall back if Mosaic rejects
             pass
     loss, _, _ = ntxent_ref.add_contrastive_loss(

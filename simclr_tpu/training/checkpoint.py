@@ -53,12 +53,33 @@ def restore(manager: ocp.CheckpointManager, state: TrainState, step: Optional[in
     )
 
 
+def schema_matcher(variable_schema: str):
+    """Compile --variable_schema into a name predicate with TF1 semantics.
+
+    TF1 filters warm-start variables with ``tf.global_variables(schema)``
+    (model.py:165-168), which applies ``re.match(schema, name)`` — i.e. the
+    pattern is anchored at the start of the variable name.  The reference's
+    default ``'?!global_step'`` is not a valid Python regex (re.compile
+    raises 'nothing to repeat'); its documented intent is 'everything except
+    global_step', so a leading ``?!`` is normalized to the negative
+    lookahead ``(?!...)`` which, under re.match, selects every name NOT
+    starting with the suffix."""
+    schema = variable_schema
+    if schema.startswith("?!"):
+        schema = "(?!" + schema[2:] + ")"
+    try:
+        rx = re.compile(schema)
+    except re.error as e:
+        raise ValueError(f"invalid --variable_schema {variable_schema!r}: {e}")
+    return lambda name: rx.match(name) is not None
+
+
 def _filter_by_schema(new_tree, restored_tree, variable_schema: str):
     """Keep restored values only where the path matches the schema regex
-    (TF1 --variable_schema semantics, model.py:165-168; the default
-    '?!global_step' means 'everything except global_step', which params
-    trees satisfy).  Joined by path name so the source tree may have extra
+    (TF1 --variable_schema semantics, model.py:165-168 — see
+    schema_matcher).  Joined by path name so the source tree may have extra
     or missing subtrees (e.g. a pretrain run without the supervised head)."""
+    matcher = schema_matcher(variable_schema)
     restored_by_name = dict(zip(param_path_strings(restored_tree),
                                 jax.tree_util.tree_leaves(restored_tree)))
     names = param_path_strings(new_tree)
@@ -66,8 +87,7 @@ def _filter_by_schema(new_tree, restored_tree, variable_schema: str):
     treedef = jax.tree_util.tree_structure(new_tree)
     out = []
     for name, new_leaf in zip(names, new_leaves):
-        matches = (variable_schema == r"?!global_step"
-                   or re.search(variable_schema, name) is not None)
+        matches = matcher(name)
         res_leaf = restored_by_name.get(name)
         if matches and res_leaf is not None and tuple(res_leaf.shape) == tuple(new_leaf.shape):
             out.append(jnp.asarray(res_leaf, new_leaf.dtype))
@@ -91,8 +111,22 @@ def warm_start(config: Config, state: TrainState, checkpoint_path: str) -> Train
     Restores the raw saved tree (no target) and takes only params +
     batch_stats — the source run's optimizer state may have a different
     structure (e.g. pretrain-LARS -> finetune-momentum)."""
+    import os
+
     mngr = ocp.CheckpointManager(checkpoint_path)
     step = mngr.latest_step()
+    if step is None:
+        # A bare step directory (<run>/<step>) was passed: restore that step
+        # through a manager rooted at its parent.
+        norm = os.path.normpath(checkpoint_path)
+        base, parent = os.path.basename(norm), os.path.dirname(norm)
+        if base.isdigit():
+            mngr = ocp.CheckpointManager(parent)
+            step = int(base)
+    if step is None:
+        raise FileNotFoundError(
+            f"--checkpoint={checkpoint_path} contains no checkpoint steps "
+            "(expected an Orbax run directory or a specific step directory)")
     restored = mngr.restore(step)
 
     params = _filter_by_schema(state.params, restored["params"], config.variable_schema)

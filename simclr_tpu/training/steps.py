@@ -228,7 +228,10 @@ def make_multi_step(train_step: Callable, steps: int) -> Callable:
     The reference amortizes host round-trips with iterations_per_loop
     (run.py:405) / an inner tf.range loop (tf2/run.py:626-638); this is the
     XLA-native equivalent — one compiled program, one dispatch, ``steps``
-    fused step iterations.  Returns (state, metrics-of-last-step).
+    fused step iterations.  Returns (state, loop-mean metrics) — the
+    reference accumulates keras metric means across the inner loop
+    (tf2/run.py:534-549), so loss curves are means over the loop, not
+    1-in-``steps`` samples; the learning rate reports the last step's value.
     """
 
     def multi_step(state, batches, base_rng):
@@ -237,8 +240,10 @@ def make_multi_step(train_step: Callable, steps: int) -> Callable:
             return st, metrics
 
         state, metrics_seq = jax.lax.scan(body, state, batches)
-        last = jax.tree.map(lambda x: x[-1], metrics_seq)
-        return state, last
+        out = jax.tree.map(lambda x: jnp.mean(x, axis=0), metrics_seq)
+        if "learning_rate" in out:
+            out["learning_rate"] = metrics_seq["learning_rate"][-1]
+        return state, out
 
     return multi_step
 
@@ -270,8 +275,13 @@ def make_eval_step(config: Config, model) -> Callable:
         )
         out = {}
         if pretrain:
+            # Padded rows are masked out of the contrastive loss entirely
+            # (excluded from the mean and from every row's negatives), so the
+            # final partial batch is unbiased (TF1 masked metric_fn,
+            # model.py:191-206).
             con_loss, logits_ab, con_labels = ntxent.add_contrastive_loss(
-                proj, hidden_norm=config.hidden_norm, temperature=config.temperature
+                proj, hidden_norm=config.hidden_norm,
+                temperature=config.temperature, weights=mask,
             )
             con_idx = jnp.argmax(con_labels[:, : logits_ab.shape[1]], axis=1)
             csums = topk_accuracy_sums(logits_ab, con_idx, mask)

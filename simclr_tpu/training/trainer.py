@@ -111,6 +111,10 @@ def train(config: Config) -> TrainState:
     cur_step = int(jax.device_get(state.step))
     log.info("training from step %d to %d (checkpoint every %d, %d steps/loop)",
              cur_step, total_steps, checkpoint_steps, spl)
+    if cur_step and hasattr(ds, "set_start_step"):
+        # Resume continues the data order from the restored step instead of
+        # repeating early-epoch batches.
+        ds.set_start_step(cur_step)
     it = iter(Prefetcher(ds))
     t_start = time.time()
     while cur_step < total_steps:
@@ -168,6 +172,7 @@ def evaluate(config: Config, state: Optional[TrainState] = None,
 
     sums = {}
     num_seen = 0
+    num_batches = 0
     target = info.num_eval_examples
     if config.eval_steps:
         target = min(target, config.eval_steps * config.eval_batch_size)
@@ -182,6 +187,7 @@ def evaluate(config: Config, state: Optional[TrainState] = None,
         for k, v in out.items():
             sums[k] = sums.get(k, 0.0) + float(v)
         num_seen += int(mask.sum())
+        num_batches += 1
         if num_seen >= target:
             break
 
@@ -190,7 +196,10 @@ def evaluate(config: Config, state: Optional[TrainState] = None,
         "eval/label_top_1_accuracy": sums.get("eval/label_top_1_sum", 0.0) / count,
         "eval/label_top_5_accuracy": sums.get("eval/label_top_5_sum", 0.0) / count,
         "eval/supervised_loss": sums.get("eval/sup_loss_sum", 0.0) / count,
-        "eval/regularization_loss": sums.get("eval/regularization_loss", 0.0),
+        # Per-batch constant of the params: mean over batches, not sum.
+        "eval/regularization_loss": (
+            sums.get("eval/regularization_loss", 0.0) / max(num_batches, 1)
+        ),
     }
     if "eval/contrastive_top_1_sum" in sums:  # TF1 pretrain-eval parity
         ccount = max(sums.get("eval/contrastive_count", count), 1.0)
@@ -234,7 +243,16 @@ def continuous_eval(config: Config, min_interval_secs: int = 15):
 
 def run(config: Config):
     """--mode dispatch (run.py:109-115)."""
-    logging.basicConfig(level=logging.INFO)
+    # basicConfig no-ops once absl/TF has installed a root handler (and absl
+    # raises the root level), which silences all progress output — attach our
+    # own handler explicitly so the CLI always reports.
+    if not log.handlers:
+        handler = logging.StreamHandler()
+        handler.setFormatter(logging.Formatter(
+            "%(asctime)s %(name)s %(levelname)s: %(message)s"))
+        log.addHandler(handler)
+        log.setLevel(logging.INFO)
+        log.propagate = False
     if config.mode == "train":
         train(config)
     elif config.mode == "eval":

@@ -110,6 +110,20 @@ def test_export_and_load_serving(tmp_path):
     assert out["default"].shape == (2, 512)
     assert out["logits_sup"].shape == (2, 10)
 
+    # trainable=True runs the training graph: BN normalizes with batch
+    # statistics instead of the stored moving averages (the reference's two
+    # concrete functions, tf2/run.py:263-284), so on inputs whose statistics
+    # differ from the (init-default) moving stats the outputs must differ.
+    rng_imgs = jax.random.normal(jax.random.PRNGKey(1), (2, 32, 32, 3)) * 3 + 1
+    frozen = serve(rng_imgs, trainable=False)
+    trainmode = serve(rng_imgs, trainable=True)
+    assert not np.allclose(np.asarray(frozen["default"]),
+                           np.asarray(trainmode["default"]))
+    # and the two modes are each deterministic / repeatable
+    again = serve(rng_imgs, trainable=True)
+    np.testing.assert_allclose(np.asarray(trainmode["default"]),
+                               np.asarray(again["default"]))
+
 
 # --- data layer --------------------------------------------------------------
 
