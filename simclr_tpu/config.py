@@ -108,7 +108,7 @@ class Config:
     fsdp: bool = _field(False, "Shard parameters/optimizer state across the data axis (ZeRO-style).")
     device_augment: bool = _field(True, "Run the augmentation stack on device (batched) instead of the host.")
     input_pipeline: str = _field("python", "Host batching backend for array/npz/synthetic sources: python | native (C++ threaded) | grain.")
-    use_fused_ntxent: bool = _field(False, "Use the fused Pallas NT-Xent forward (loss only; skips contrastive acc/entropy metrics).")
+    use_fused_ntxent: bool = _field(False, "Streaming Pallas NT-Xent (fwd+bwd+metrics; no (2N)^2 logits in HBM). Wins >=1.5x at 2N>=8192 and is ~13x closer to the f64 gradient than the dense XLA path; breakeven below that. Multi-chip: supported on the shard_map path.")
     use_shard_map: bool = _field(False, "Explicit-SPMD train step via shard_map (required for per-replica BN, i.e. global_bn=False, on multi-device).")
     steps_per_loop: int = _field(0, "Device steps per host loop iteration (0 = checkpoint cadence).")
     seed: int = _field(0, "PRNG seed.")

@@ -75,7 +75,7 @@ def _ntxent_pallas_fwd(q1, q2, k1, k2, row_offset, temperature, interpret=False)
 
     def kernel(off_ref, q1_ref, q2_ref, k1_ref, k2_ref,
                loss_ref, ma_ref, la_ref, mb_ref, lb_ref,
-               mab_ref, lab_ref, tab_ref):
+               mab_ref, lab_ref, tab_ref, aab_ref):
         i = pl.program_id(0)
         row0 = i * ROW_TILE
         q1t = q1_ref[pl.ds(row0, ROW_TILE), :]
@@ -86,11 +86,12 @@ def _ntxent_pallas_fwd(q1, q2, k1, k2, row_offset, temperature, interpret=False)
         m_a, m_b, m_ab = neg_inf, neg_inf, neg_inf
         l_a, l_b, l_ab, t_ab = zeros, zeros, zeros, zeros
         p_a, p_b = zeros, zeros
+        a_ab = jnp.zeros((ROW_TILE, 1), jnp.int32)  # running argmax col of ab
         row_ids = (off_ref[0] + row0
                    + jax.lax.broadcasted_iota(jnp.int32, (ROW_TILE, COL_TILE), 0))
 
         def col_step(j, carry):
-            m_a, l_a, m_b, l_b, p_a, p_b, m_ab, l_ab, t_ab = carry
+            m_a, l_a, m_b, l_b, p_a, p_b, m_ab, l_ab, t_ab, a_ab = carry
             col0 = j * COL_TILE
             k1t = k1_ref[pl.ds(col0, COL_TILE), :]
             k2t = k2_ref[pl.ds(col0, COL_TILE), :]
@@ -112,19 +113,24 @@ def _ntxent_pallas_fwd(q1, q2, k1, k2, row_offset, temperature, interpret=False)
             m_a, l_a = lse_update(*lse_update(m_a, l_a, s_ab), s_aa)
             m_b, l_b = lse_update(*lse_update(m_b, l_b, s_ba), s_bb)
 
-            # ab-block-only stats: online (max, sum e^s, sum e^s * s) giving
-            # the ab softmax's lse and expected logit for acc/entropy.
-            new_m = jnp.maximum(jnp.max(s_ab, axis=1, keepdims=True), m_ab)
+            # ab-block-only stats: online (max, argmax, sum e^s, sum e^s * s)
+            # giving the ab softmax's argmax/lse/expected logit for the
+            # acc/entropy metrics.  Strict > keeps the FIRST maximal column,
+            # matching jnp.argmax tie-breaking on the dense logits.
+            tile_max = jnp.max(s_ab, axis=1, keepdims=True)
+            tile_arg = col0 + jnp.argmax(s_ab, axis=1).astype(jnp.int32)[:, None]
+            a_ab = jnp.where(tile_max > m_ab, tile_arg, a_ab)
+            new_m = jnp.maximum(tile_max, m_ab)
             alpha = jnp.exp(m_ab - new_m)
             e = jnp.exp(s_ab - new_m)
             l_ab = l_ab * alpha + jnp.sum(e, axis=1, keepdims=True)
             t_ab = t_ab * alpha + jnp.sum(e * s_ab, axis=1, keepdims=True)
             m_ab = new_m
-            return m_a, l_a, m_b, l_b, p_a, p_b, m_ab, l_ab, t_ab
+            return m_a, l_a, m_b, l_b, p_a, p_b, m_ab, l_ab, t_ab, a_ab
 
-        m_a, l_a, m_b, l_b, p_a, p_b, m_ab, l_ab, t_ab = jax.lax.fori_loop(
+        m_a, l_a, m_b, l_b, p_a, p_b, m_ab, l_ab, t_ab, a_ab = jax.lax.fori_loop(
             0, n_col_tiles, col_step,
-            (m_a, l_a, m_b, l_b, p_a, p_b, m_ab, l_ab, t_ab),
+            (m_a, l_a, m_b, l_b, p_a, p_b, m_ab, l_ab, t_ab, a_ab),
         )
         sl = pl.ds(row0, ROW_TILE)
         loss_ref[sl, :] = (m_a + jnp.log(l_a) - p_a) + (m_b + jnp.log(l_b) - p_b)
@@ -135,9 +141,11 @@ def _ntxent_pallas_fwd(q1, q2, k1, k2, row_offset, temperature, interpret=False)
         mab_ref[sl, :] = m_ab
         lab_ref[sl, :] = l_ab
         tab_ref[sl, :] = t_ab
+        aab_ref[sl, :] = a_ab
 
     out = [jax.ShapeDtypeStruct((b_loc, 1), jnp.float32) for _ in range(8)]
-    specs = [pl.BlockSpec(memory_space=pltpu.VMEM) for _ in range(8)]
+    out.append(jax.ShapeDtypeStruct((b_loc, 1), jnp.int32))
+    specs = [pl.BlockSpec(memory_space=pltpu.VMEM) for _ in range(9)]
     return pl.pallas_call(
         kernel,
         out_shape=tuple(out),
@@ -251,8 +259,14 @@ def _ntxent_pallas_bwd(q1, q2, k1, k2, row_offset, m_a, l_a, m_b, l_b,
       m_a, l_a, m_b, l_b)
 
 
+# Test hook: when True the kernels run through the Pallas interpreter on
+# any backend (so the fused path, including its shard_map integration, can
+# be validated on the virtual CPU mesh).
+_FORCE_INTERPRET = False
+
+
 def _use_pallas() -> bool:
-    return any(d.platform == "tpu" for d in jax.devices())
+    return _FORCE_INTERPRET or any(d.platform == "tpu" for d in jax.devices())
 
 
 def _normalize_with_residual(hidden):
@@ -260,13 +274,13 @@ def _normalize_with_residual(hidden):
     return hidden / norm, norm
 
 
-def _metrics_from_stats(loss_vec, p_a, m_ab, l_ab, t_ab):
+def _metrics_from_stats(a_ab, pos_idx, m_ab, l_ab, t_ab):
     """Contrastive accuracy/entropy from ab-block byproducts.
 
-    acc: the positive logit equals the ab-row max iff the diagonal wins the
-    argmax (reference contrastive accuracy over logits_ab).
+    acc: the streaming argmax column equals the positive column (reference
+    contrastive accuracy over logits_ab, argmax tie-breaking included).
     entropy: H = lse_ab - E_p[logit] with lse = m + log l, E_p = t / l."""
-    correct = (p_a >= m_ab).astype(jnp.float32)
+    correct = (a_ab[:, 0] == pos_idx).astype(jnp.float32)
     lse = m_ab + jnp.log(l_ab)
     entropy = lse - t_ab / l_ab
     return jnp.mean(correct), jnp.mean(entropy)
@@ -314,12 +328,10 @@ def _fused_metrics_fwd(hidden, hidden_norm, temperature, axis_name):
         return out, (hidden, None)
     hn, _ = _normalize_with_residual(hidden) if hidden_norm else (hidden, None)
     q1, q2, k1, k2, off = _gather_keys(hn, axis_name)
-    loss_vec, m_a, l_a, m_b, l_b, m_ab, l_ab, t_ab = _ntxent_pallas_fwd(
-        q1, q2, k1, k2, off, temperature)
-    # positive logit for the acc byproduct (diag of ab): q1 . k2[off+i]
-    pos = jnp.sum(q1 * jax.lax.dynamic_slice_in_dim(k2, off, q1.shape[0], 0),
-                  axis=-1, keepdims=True) / temperature
-    acc, ent = _metrics_from_stats(loss_vec, pos, m_ab, l_ab, t_ab)
+    loss_vec, m_a, l_a, m_b, l_b, m_ab, l_ab, t_ab, a_ab = _ntxent_pallas_fwd(
+        q1, q2, k1, k2, off, temperature, interpret=_FORCE_INTERPRET)
+    pos_idx = off + jnp.arange(q1.shape[0], dtype=jnp.int32)
+    acc, ent = _metrics_from_stats(a_ab, pos_idx, m_ab, l_ab, t_ab)
     return ((jnp.mean(loss_vec), acc, ent),
             (hidden, (m_a, l_a, m_b, l_b)))
 
@@ -342,7 +354,8 @@ def _fused_metrics_bwd(hidden_norm, temperature, axis_name, residuals, g):
     q1, q2, k1, k2, off = _gather_keys(hn, axis_name)
     b_loc = q1.shape[0]
     dq1, dq2, dk1, dk2 = _ntxent_pallas_bwd(
-        q1, q2, k1, k2, off, m_a, l_a, m_b, l_b, temperature)
+        q1, q2, k1, k2, off, m_a, l_a, m_b, l_b, temperature,
+        interpret=_FORCE_INTERPRET)
     if axis_name is None:
         dh1 = dq1 + dk1
         dh2 = dq2 + dk2
@@ -386,7 +399,8 @@ def add_contrastive_loss_pallas(hidden, hidden_norm=True, temperature=1.0):
     if _use_pallas():
         try:
             h1, h2 = jnp.split(hidden, 2, axis=0)
-            loss_vec = _ntxent_pallas_fwd(h1, h2, h1, h2, 0, temperature)[0]
+            loss_vec = _ntxent_pallas_fwd(h1, h2, h1, h2, 0, temperature,
+                                          interpret=_FORCE_INTERPRET)[0]
             return jnp.mean(loss_vec)
         except Exception:  # pragma: no cover - fall back if Mosaic rejects
             pass

@@ -85,18 +85,20 @@ def make_train_step(config: Config, model, tx: optax.GradientTransformation,
             loss = jnp.zeros([], jnp.float32)
             if pretrain:
                 if config.use_fused_ntxent:
-                    from simclr_tpu.ops.ntxent_pallas import ntxent_loss_fused
+                    from simclr_tpu.ops.ntxent_pallas import ntxent_fused_metrics
 
-                    con_loss = ntxent_loss_fused(proj, config.hidden_norm, config.temperature)
-                    metrics["train/contrast_loss"] = con_loss
+                    con_loss, con_acc, con_ent = ntxent_fused_metrics(
+                        proj, config.hidden_norm, config.temperature, None)
+                    metrics["train/contrast_acc"] = con_acc
+                    metrics["train/contrast_entropy"] = con_ent
                 else:
                     con_loss, logits_ab, con_labels = ntxent.add_contrastive_loss(
                         proj, hidden_norm=config.hidden_norm,
                         temperature=config.temperature,
                     )
-                    metrics["train/contrast_loss"] = con_loss
                     metrics["train/contrast_acc"] = ntxent.contrastive_accuracy(logits_ab, con_labels)
                     metrics["train/contrast_entropy"] = ntxent.contrastive_entropy(logits_ab)
+                metrics["train/contrast_loss"] = con_loss
                 loss += con_loss
             if logits_sup is not None:
                 num_classes = logits_sup.shape[-1]
@@ -177,14 +179,25 @@ def make_shard_map_train_step(config: Config, model, tx: optax.GradientTransform
             metrics = {}
             loss = jnp.zeros([], jnp.float32)
             if pretrain:
-                con_loss, logits_ab, con_labels = ntxent.add_contrastive_loss(
-                    proj, hidden_norm=config.hidden_norm,
-                    temperature=config.temperature, axis_name="data",
-                )
+                if config.use_fused_ntxent:
+                    # Fused streaming kernel over the local (rows x global)
+                    # tile: all_gather inside, column-grad psum in the VJP
+                    # (SURVEY.md N1 fused all-gather NT-Xent).
+                    from simclr_tpu.ops.ntxent_pallas import ntxent_fused_metrics
+
+                    con_loss, con_acc, con_ent = ntxent_fused_metrics(
+                        proj, config.hidden_norm, config.temperature, "data")
+                else:
+                    con_loss, logits_ab, con_labels = ntxent.add_contrastive_loss(
+                        proj, hidden_norm=config.hidden_norm,
+                        temperature=config.temperature, axis_name="data",
+                    )
+                    con_acc = ntxent.contrastive_accuracy(logits_ab, con_labels)
+                    con_ent = ntxent.contrastive_entropy(logits_ab)
                 loss += con_loss
                 metrics["train/contrast_loss"] = con_loss
-                metrics["train/contrast_acc"] = ntxent.contrastive_accuracy(logits_ab, con_labels)
-                metrics["train/contrast_entropy"] = ntxent.contrastive_entropy(logits_ab)
+                metrics["train/contrast_acc"] = con_acc
+                metrics["train/contrast_entropy"] = con_ent
             if logits_sup is not None:
                 sup_labels = jax.nn.one_hot(sup_label_idx, logits_sup.shape[-1])
                 sup_loss = ntxent.add_supervised_loss(sup_labels, logits_sup)

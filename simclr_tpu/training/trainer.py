@@ -74,6 +74,12 @@ def train(config: Config) -> TrainState:
     mesh_lib.maybe_initialize_distributed()
     mesh = mesh_lib.create_mesh(config)
     log.info("mesh: %s", mesh)
+    if config.use_fused_ntxent and not config.use_shard_map and mesh.size > 1:
+        raise ValueError(
+            "--use_fused_ntxent on multiple devices requires "
+            "--use_shard_map=true: the GSPMD partitioner cannot shard the "
+            "Pallas kernel (the shard_map path all-gathers keys and runs the "
+            "local tile per replica)")
 
     ds, info = build_dataset(config, is_training=True)
     model, tx, lr_fn = build_model_and_optimizer(config, info.num_train_examples, info.num_classes)

@@ -1,11 +1,29 @@
-"""Fused NT-Xent (custom-VJP / Pallas-on-TPU) equivalence tests."""
+"""Fused NT-Xent (custom-VJP / Pallas) equivalence tests.
+
+The streaming kernels are validated through the Pallas interpreter on the
+CPU mesh: loss/grad/metrics vs the dense reference, the rectangular
+(local x global) tile with a row offset, and the full shard_map path
+(all_gather forward, column-grad psum backward) on 4 virtual devices.
+"""
 
 import jax
 import jax.numpy as jnp
 import numpy as np
+import pytest
 
-from simclr_tpu.objectives.ntxent import add_contrastive_loss
-from simclr_tpu.ops.ntxent_pallas import add_contrastive_loss_pallas, ntxent_loss_fused
+from simclr_tpu.objectives.ntxent import (
+    add_contrastive_loss, contrastive_accuracy, contrastive_entropy,
+)
+from simclr_tpu.ops import ntxent_pallas as np_mod
+from simclr_tpu.ops.ntxent_pallas import (
+    _normalize_with_residual, _ntxent_pallas_bwd, _ntxent_pallas_fwd,
+    add_contrastive_loss_pallas, ntxent_fused_metrics, ntxent_loss_fused,
+)
+
+
+@pytest.fixture
+def force_interpret(monkeypatch):
+    monkeypatch.setattr(np_mod, "_FORCE_INTERPRET", True)
 
 
 def test_fused_loss_matches_reference():
@@ -35,30 +53,134 @@ def test_pallas_wrapper_cpu_fallback():
 
 
 def test_streaming_kernels_interpret_mode():
-    """The Pallas streaming forward AND backward, run through the Pallas
-    interpreter on CPU, must match the dense loss and jax.grad exactly."""
-    import jax.numpy as jnp
-
-    from simclr_tpu.ops.ntxent_pallas import (
-        _normalize_with_residual, _ntxent_pallas_bwd, _ntxent_pallas_fwd,
-    )
-
+    """The Pallas streaming forward AND backward (square case: keys = the
+    full batch, offset 0), run through the interpreter, must match the dense
+    loss and jax.grad exactly."""
     hidden = jax.random.normal(jax.random.PRNGKey(3), (32, 16))
     T = 0.3
     hn, norm = _normalize_with_residual(hidden)
     h1, h2 = jnp.split(hn, 2, axis=0)
+    b = h1.shape[0]
 
-    loss_vec, m_a, l_a, m_b, l_b = _ntxent_pallas_fwd(h1, h2, T, interpret=True)
+    loss_vec, m_a, l_a, m_b, l_b, *_ = _ntxent_pallas_fwd(
+        h1, h2, h1, h2, 0, T, interpret=True)
     ref, _, _ = add_contrastive_loss(hidden, temperature=T)
     np.testing.assert_allclose(float(jnp.mean(loss_vec)), float(ref), rtol=1e-6)
 
-    dh1, dh2 = _ntxent_pallas_bwd(h1, h2, m_a, l_a, m_b, l_b, T, interpret=True)
-    dhn = jnp.concatenate([dh1, dh2], 0) / h1.shape[0]
+    dq1, dq2, dk1, dk2 = _ntxent_pallas_bwd(
+        h1, h2, h1, h2, 0, m_a, l_a, m_b, l_b, T, interpret=True)
+    dh1 = (dq1 + dk1 - 2.0 * h2) / T
+    dh2 = (dq2 + dk2 - 2.0 * h1) / T
+    dhn = jnp.concatenate([dh1, dh2], 0) / b
     dhidden = (dhn - hn * jnp.sum(hn * dhn, axis=-1, keepdims=True)) / norm
 
     def f(h):
         loss, _, _ = add_contrastive_loss(h, temperature=T)
         return loss
 
-    g_ref = jax.grad(f)(hidden)
-    np.testing.assert_allclose(np.asarray(dhidden), np.asarray(g_ref), atol=1e-6)
+    np.testing.assert_allclose(np.asarray(dhidden), np.asarray(jax.grad(f)(hidden)),
+                               rtol=1e-5, atol=1e-7)
+
+
+def test_fused_metrics_match_dense(force_interpret):
+    """loss/acc/entropy byproducts from the interpreted kernel vs dense."""
+    hidden = jax.random.normal(jax.random.PRNGKey(4), (24, 16)) * 2
+    T = 0.4
+    loss, acc, ent = ntxent_fused_metrics(hidden, True, T, None)
+    ref_loss, logits_ab, labels = add_contrastive_loss(hidden, temperature=T)
+    np.testing.assert_allclose(float(loss), float(ref_loss), rtol=1e-5)
+    np.testing.assert_allclose(float(acc), float(contrastive_accuracy(logits_ab, labels)))
+    np.testing.assert_allclose(float(ent), float(contrastive_entropy(logits_ab)),
+                               rtol=1e-4)
+
+
+def test_fused_metrics_grad_matches_dense(force_interpret):
+    hidden = jax.random.normal(jax.random.PRNGKey(5), (16, 8))
+
+    def ref_loss(h):
+        loss, _, _ = add_contrastive_loss(h, temperature=0.5)
+        return loss
+
+    g_ref = jax.grad(ref_loss)(hidden)
+    g_fused = jax.grad(lambda h: ntxent_fused_metrics(h, True, 0.5, None)[0])(hidden)
+    np.testing.assert_allclose(np.asarray(g_fused), np.asarray(g_ref),
+                               rtol=1e-4, atol=1e-6)
+
+
+def test_rectangular_offset_tile_matches_dense_rows():
+    """Local (rows x global) tile with a row offset: per-row losses must
+    equal the corresponding rows of the full dense computation — the
+    reference's replica-offset label structure (objective.py:64-80)."""
+    hidden = jax.random.normal(jax.random.PRNGKey(6), (32, 16))
+    T = 0.3
+    hn, _ = _normalize_with_residual(hidden)
+    h1, h2 = jnp.split(hn, 2, axis=0)  # (16, d) each
+    b_loc = 8
+
+    full_loss_vec = _ntxent_pallas_fwd(h1, h2, h1, h2, 0, T, interpret=True)[0]
+    for off in (0, 8):
+        q1 = jax.lax.dynamic_slice_in_dim(h1, off, b_loc, 0)
+        q2 = jax.lax.dynamic_slice_in_dim(h2, off, b_loc, 0)
+        part = _ntxent_pallas_fwd(q1, q2, h1, h2, off, T, interpret=True)[0]
+        np.testing.assert_allclose(np.asarray(part),
+                                   np.asarray(full_loss_vec[off:off + b_loc]),
+                                   rtol=1e-6)
+
+
+def test_fused_shard_map_matches_dense(force_interpret):
+    """The full SPMD fused path on 4 virtual devices: all_gather + local
+    tile forward, psum'd column grads backward — loss, metrics and the
+    pmean'd gradient must match the single-device dense computation."""
+    from jax.sharding import Mesh, PartitionSpec as P
+
+    n_dev = 4
+    devices = np.array(jax.devices()[:n_dev])
+    mesh = Mesh(devices, ("data",))
+    T = 0.4
+    hidden = jax.random.normal(jax.random.PRNGKey(7), (2 * 4 * n_dev, 16))
+
+    def dense(h):
+        loss, logits_ab, labels = add_contrastive_loss(h, temperature=T)
+        return loss, (contrastive_accuracy(logits_ab, labels),
+                      contrastive_entropy(logits_ab))
+
+    ref_loss, (ref_acc, ref_ent) = dense(hidden)
+    ref_grad = jax.grad(lambda h: dense(h)[0])(hidden)
+
+    # shard_map expects per-device (local 2B, d) with views stacked per
+    # device: reshape global (2N, d) -> per-device blocks.
+    h1, h2 = jnp.split(hidden, 2, axis=0)
+    b_loc = h1.shape[0] // n_dev
+    shards = jnp.concatenate(
+        [jnp.concatenate([h1[i * b_loc:(i + 1) * b_loc],
+                          h2[i * b_loc:(i + 1) * b_loc]], 0)
+         for i in range(n_dev)], 0)
+
+    def local_fn(h_local):
+        def loss_fn(h):
+            loss, acc, ent = ntxent_fused_metrics(h, True, T, "data")
+            return loss, (acc, ent)
+
+        (loss, (acc, ent)), grad = jax.value_and_grad(loss_fn, has_aux=True)(h_local)
+        return (jax.lax.pmean(loss, "data"), jax.lax.pmean(acc, "data"),
+                jax.lax.pmean(ent, "data"), grad)
+
+    loss, acc, ent, grad = jax.jit(jax.shard_map(
+        local_fn, mesh=mesh, in_specs=P("data"), out_specs=(P(), P(), P(), P("data")),
+        check_vma=False,
+    ))(shards)
+
+    np.testing.assert_allclose(float(loss), float(ref_loss), rtol=1e-5)
+    np.testing.assert_allclose(float(acc), float(ref_acc))
+    np.testing.assert_allclose(float(ent), float(ref_ent), rtol=1e-4)
+
+    # un-interleave the sharded grad back to (view-a rows, view-b rows)
+    g = np.asarray(grad).reshape(n_dev, 2, b_loc, -1)
+    g_h1 = g[:, 0].reshape(-1, hidden.shape[1])
+    g_h2 = g[:, 1].reshape(-1, hidden.shape[1])
+    g_full = np.concatenate([g_h1, g_h2], 0)
+    # per-replica losses are local means; dense is the global mean — the
+    # per-replica grads are R x larger before the outer pmean, which the
+    # train step applies to *parameter* grads.  Scale to compare.
+    np.testing.assert_allclose(g_full / n_dev, np.asarray(ref_grad),
+                               rtol=1e-4, atol=1e-6)

@@ -59,3 +59,35 @@ def test_shard_map_step_local_bn():
     before = jax.device_get(state.batch_stats["resnet"]["initial_bn"]["batch_norm"]["mean"])
     after = jax.device_get(new_state.batch_stats["resnet"]["initial_bn"]["batch_norm"]["mean"])
     assert not np.allclose(before, after)
+
+
+@pytest.mark.slow
+def test_shard_map_step_fused_ntxent_matches_dense(monkeypatch):
+    """--use_fused_ntxent through the shard_map train step (interpreted
+    Pallas kernels on the virtual mesh) must produce the same loss/metrics
+    and parameter updates as the dense shard_map step."""
+    from simclr_tpu.ops import ntxent_pallas as np_mod
+
+    monkeypatch.setattr(np_mod, "_FORCE_INTERPRET", True)
+    base = Config(dataset="synthetic", image_size=32, resnet_depth=18,
+                  train_batch_size=16, warmup_epochs=0, optimizer="lars",
+                  compute_dtype="float32", use_blur=False,
+                  train_mode="pretrain", use_shard_map=True, global_bn=True)
+    results = {}
+    for fused in (False, True):
+        config = base.replace(use_fused_ntxent=fused)
+        mesh, model, tx, lr_fn, state, batch = _common(config)
+        step = jax.jit(make_shard_map_train_step(config, model, tx, lr_fn, mesh))
+        new_state, metrics = step(state, batch, jax.random.PRNGKey(0))
+        results[fused] = (new_state, {k: float(v) for k, v in metrics.items()})
+    m_dense, m_fused = results[False][1], results[True][1]
+    for key in ("train/contrast_loss", "train/contrast_acc",
+                "train/contrast_entropy", "train/total_loss"):
+        assert key in m_fused, key
+        np.testing.assert_allclose(m_fused[key], m_dense[key], rtol=1e-4,
+                                   err_msg=key)
+    p_dense = jax.tree_util.tree_leaves(results[False][0].params)
+    p_fused = jax.tree_util.tree_leaves(results[True][0].params)
+    for a, b in zip(p_dense, p_fused):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), rtol=1e-3,
+                                   atol=1e-6)
