@@ -36,6 +36,9 @@ class DatasetInfo:
     num_eval_examples: int
     num_classes: int
     image_shape: Tuple[int, int, int]  # host canvas shape (pre device-augment)
+    # Eval images were already center-cropped at original resolution on the
+    # host (variable-size sources); the device eval step must not crop again.
+    eval_host_preprocessed: bool = False
 
 
 _CANVAS = 256  # host canvas side for large images (device crops from this)
@@ -47,6 +50,74 @@ def _canvas_shape(config: Config) -> Tuple[int, int, int]:
     # Keep a modest margin over the train crop so random crops see context.
     side = max(_CANVAS, config.image_size)
     return (side, side, 3)
+
+
+def make_train_canvas_fn(canvas_h: int, canvas_w: int):
+    """TF map: letterbox a decoded image onto a fixed canvas, ASPECT
+    PRESERVED (resize to fit, never upscale, pad bottom/right), and report
+    the valid region.  The device crop sampler draws its distorted bbox
+    inside the valid region, so the effective crop-geometry distribution
+    matches the reference's sampling on the original image
+    (data_util.py:252-325) — the canvas is transport, not a resample of
+    the aspect ratio."""
+    import tensorflow as tf
+
+    def fn(image):
+        shape = tf.shape(image)
+        ih = tf.cast(shape[0], tf.float32)
+        iw = tf.cast(shape[1], tf.float32)
+        scale = tf.minimum(
+            tf.minimum(float(canvas_h) / ih, float(canvas_w) / iw), 1.0)
+        nh = tf.cast(tf.round(ih * scale), tf.int32)
+        nw = tf.cast(tf.round(iw * scale), tf.int32)
+        resized = tf.image.resize(image, (nh, nw), method="bicubic")
+        resized = tf.clip_by_value(tf.cast(resized, tf.float32), 0.0, 255.0)
+        # Edge-replicate into the padding (not zeros): bicubic taps of a crop
+        # box touching the valid-region edge then see clamped pixels, exactly
+        # like the reference's resize at the true image edge.
+        canvas = tf.gather(resized, tf.minimum(tf.range(canvas_h), nh - 1), axis=0)
+        canvas = tf.gather(canvas, tf.minimum(tf.range(canvas_w), nw - 1), axis=1)
+        return (tf.cast(canvas, tf.uint8),
+                tf.stack([nh, nw]))
+
+    return fn
+
+
+def make_eval_crop_fn(height: int, width: int, test_crop: bool):
+    """TF map: the reference eval preprocessing at ORIGINAL resolution —
+    proportional center crop (0.875) + bicubic resize
+    (data_util.py:184-249, center_crop/_compute_crop_shape), or plain
+    resize when test_crop is off (<=32px datasets, data.py:152-165)."""
+    import tensorflow as tf
+
+    crop_proportion = 0.875
+    aspect = width / height
+
+    def fn(image):
+        if test_crop:
+            shape = tf.shape(image)
+            ih = tf.cast(shape[0], tf.float32)
+            iw = tf.cast(shape[1], tf.float32)
+            # _compute_crop_shape (tf2/data_util.py:184-214)
+            def portrait():
+                return (tf.round(crop_proportion / aspect * iw),
+                        tf.round(crop_proportion * iw))
+
+            def landscape():
+                return (tf.round(crop_proportion * ih),
+                        tf.round(crop_proportion * aspect * ih))
+
+            ch, cw = tf.cond(aspect > iw / ih, portrait, landscape)
+            ch = tf.cast(ch, tf.int32)
+            cw = tf.cast(cw, tf.int32)
+            oy = (shape[0] - ch + 1) // 2
+            ox = (shape[1] - cw + 1) // 2
+            image = tf.image.crop_to_bounding_box(image, oy, ox, ch, cw)
+        image = tf.image.resize(image, (height, width), method="bicubic")
+        image = tf.clip_by_value(tf.cast(image, tf.float32), 0.0, 255.0)
+        return tf.cast(image, tf.uint8)
+
+    return fn
 
 
 # ---------------------------------------------------------------------------
@@ -141,8 +212,10 @@ class ArrayDataset:
 # ---------------------------------------------------------------------------
 
 class TFDSStream:
-    """Streaming TFDS pipeline: decode + resize-to-canvas on host, batch
-    uint8; augmentation happens on device.
+    """Streaming TFDS pipeline: decode + aspect-preserving letterbox (train)
+    or reference center-crop at original resolution (eval) on host, batch
+    uint8; the rest of the augmentation happens on device using the
+    per-image valid-region metadata.
 
     Structure mirrors the reference host pipeline (data.py:133-146 /
     tf2/data.py:64-90): shuffle(buffer = bsz x 50 small / x10 large) ->
@@ -205,11 +278,19 @@ class TFDSStream:
             ds = ds.shuffle(bs * buffer_multiplier, seed=config.seed)
             ds = ds.repeat(-1)
 
-        def map_fn(image, label):
-            if image.shape[:2] != (h, w):
-                image = tf.image.resize(image, (h, w), method="bicubic")
-            image = tf.cast(tf.clip_by_value(tf.cast(image, tf.float32), 0, 255), tf.uint8)
-            return image, tf.cast(label, tf.int32)
+        if is_training:
+            canvas_fn = make_train_canvas_fn(h, w)
+
+            def map_fn(image, label):
+                canvas, valid_hw = canvas_fn(image)
+                return {"image": canvas, "label": tf.cast(label, tf.int32),
+                        "valid_hw": valid_hw}
+        else:
+            eval_fn = make_eval_crop_fn(config.image_size, config.image_size,
+                                        test_crop=config.image_size > 32)
+
+            def map_fn(image, label):
+                return {"image": eval_fn(image), "label": tf.cast(label, tf.int32)}
 
         ds = ds.map(map_fn, num_parallel_calls=tf.data.AUTOTUNE)
         ds = ds.batch(bs, drop_remainder=is_training)
@@ -217,6 +298,7 @@ class TFDSStream:
         self._bs = bs
         self._is_training = is_training
         self._skip_batches = 0
+        self.eval_host_preprocessed = not is_training
 
     def set_start_step(self, step: int):
         """Resume support: fast-forward the (deterministic, seeded) stream by
@@ -238,12 +320,12 @@ class TFDSStream:
         if self._skip_batches:
             ds = ds.skip(self._skip_batches)
         ds = ds.prefetch(tf.data.AUTOTUNE)
-        for image, label in tfds.as_numpy(ds):
-            if len(label) < self._bs:  # pad final eval batch
-                pad = self._bs - len(label)
-                image = np.concatenate([image, np.repeat(image[:1], pad, 0)])
-                label = np.concatenate([label, np.repeat(label[:1], pad, 0)])
-            yield {"image": image, "label": label}
+        for batch in tfds.as_numpy(ds):
+            if len(batch["label"]) < self._bs:  # pad final eval batch
+                pad = self._bs - len(batch["label"])
+                batch = {k: np.concatenate([v, np.repeat(v[:1], pad, 0)])
+                         for k, v in batch.items()}
+            yield dict(batch)
 
 
 def _load_tfds(config: Config, is_training: bool):
@@ -362,11 +444,13 @@ def build_dataset(config: Config, is_training: bool):
         return arr, info
     # tfds path (cifar10, imagenet2012, imagenet2012_subset/1pct, ...)
     ds, num, num_classes = _load_tfds(config, is_training)
+    host_eval = getattr(ds, "eval_host_preprocessed", False)
     if is_training:
         info = DatasetInfo(num, 0, num_classes, _canvas_shape(config))
     else:
         n_train = config.num_images_default or num
-        info = DatasetInfo(n_train, num, num_classes, _canvas_shape(config))
+        info = DatasetInfo(n_train, num, num_classes, _canvas_shape(config),
+                           eval_host_preprocessed=host_eval)
     return ds, info
 
 

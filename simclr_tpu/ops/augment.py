@@ -200,8 +200,8 @@ def _crop_resize_one(image, box, height, width):
 
 def sample_distorted_box(
     key,
-    image_height: int,
-    image_width: int,
+    image_height,
+    image_width,
     aspect_ratio_range: Tuple[float, float],
     area_range: Tuple[float, float],
     min_object_covered: float = 0.1,
@@ -212,10 +212,15 @@ def sample_distorted_box(
 
     Draws ``max_attempts`` candidate boxes at once; picks the first whose
     size fits in the image and whose area covers >= min_object_covered of
-    the image; falls back to the whole image.  Returns float (y0, x0, h, w).
+    the image; falls back to the whole image.  ``image_height/width`` may be
+    traced per-image values (the valid region of a padded canvas), so the
+    sampled geometry follows the ORIGINAL image's aspect/area distribution
+    even when the host letterboxed it.  Returns float (y0, x0, h, w).
     """
     k_ar, k_area, k_y, k_x = jax.random.split(key, 4)
-    area = float(image_height * image_width)
+    image_height = jnp.asarray(image_height, jnp.float32)
+    image_width = jnp.asarray(image_width, jnp.float32)
+    area = image_height * image_width
     ar = jax.random.uniform(
         k_ar, (max_attempts,), minval=aspect_ratio_range[0], maxval=aspect_ratio_range[1]
     )
@@ -233,8 +238,8 @@ def sample_distorted_box(
     )
     idx = jnp.argmax(valid)  # first True (argmax returns first max)
     any_valid = jnp.any(valid)
-    h_sel = jnp.where(any_valid, h[idx], float(image_height))
-    w_sel = jnp.where(any_valid, w[idx], float(image_width))
+    h_sel = jnp.where(any_valid, h[idx], image_height)
+    w_sel = jnp.where(any_valid, w[idx], image_width)
     u_y = jax.random.uniform(k_y, ())
     u_x = jax.random.uniform(k_x, ())
     y0 = jnp.floor(u_y * (image_height - h_sel + 1.0))
@@ -242,22 +247,33 @@ def sample_distorted_box(
     return y0, x0, h_sel, w_sel
 
 
-def crop_and_resize(images, key, height, width):
-    """Batched random distorted crop + bicubic resize (data_util.py:303-325)."""
+def crop_and_resize(images, key, height, width, valid_hw=None):
+    """Batched random distorted crop + bicubic resize (data_util.py:303-325).
+
+    ``valid_hw``: optional int (B, 2) valid region per image — crops are
+    sampled inside it so letterboxed canvases reproduce the reference's
+    crop-geometry distribution on the original image (data_util.py:252-325).
+    """
     b, h0, w0, _ = images.shape
     aspect = width / height
     keys = jax.random.split(key, b)
+    if valid_hw is None:
+        vh = jnp.full((b,), h0, jnp.float32)
+        vw = jnp.full((b,), w0, jnp.float32)
+    else:
+        vh = valid_hw[:, 0].astype(jnp.float32)
+        vw = valid_hw[:, 1].astype(jnp.float32)
 
-    def one(image, k):
+    def one(image, k, ih, iw):
         box = sample_distorted_box(
-            k, h0, w0,
+            k, ih, iw,
             aspect_ratio_range=(3.0 / 4 * aspect, 4.0 / 3 * aspect),
             area_range=(0.08, 1.0),
             min_object_covered=0.1,
         )
         return _crop_resize_one(image, box, height, width)
 
-    return jax.vmap(one)(images, keys)
+    return jax.vmap(one)(images, keys, vh, vw)
 
 
 def center_crop(images, height, width, crop_proportion=CROP_PROPORTION):
@@ -351,14 +367,14 @@ def batched_random_apply(fn, p, images, key):
     return jnp.where(gate, applied, images)
 
 
-def random_crop_with_resize(images, key, height, width, p=1.0):
+def random_crop_with_resize(images, key, height, width, p=1.0, valid_hw=None):
     """tf2/data_util.py:364-380.  The not-applied branch resizes the full
     image to the target size (shapes must match post-op; at the reference's
     default p=1.0 only the crop branch exists)."""
     if p >= 1.0:
-        return crop_and_resize(images, key, height, width)
+        return crop_and_resize(images, key, height, width, valid_hw=valid_hw)
     k_gate, k_fn = jax.random.split(key)
-    applied = crop_and_resize(images, k_fn, height, width)
+    applied = crop_and_resize(images, k_fn, height, width, valid_hw=valid_hw)
     not_applied = (images if images.shape[1:3] == (height, width)
                    else resize_bicubic(images, height, width))
     gate = jax.random.bernoulli(k_gate, p, (images.shape[0], 1, 1, 1))
@@ -382,7 +398,7 @@ def random_color_jitter(images, key, p=1.0, strength=1.0, impl="simclrv2"):
 def preprocess_for_train(
     images, key, height, width,
     color_jitter_strength=0.0, crop=True, flip=True, impl="simclrv2",
-    dtype=None,
+    dtype=None, valid_hw=None,
 ):
     """Batched train-time preprocessing (tf2/data_util.py:444-479).
 
@@ -391,7 +407,8 @@ def preprocess_for_train(
     for bicubic weight precision)."""
     k_crop, k_flip, k_jitter = jax.random.split(key, 3)
     if crop:
-        images = random_crop_with_resize(images, k_crop, height, width)
+        images = random_crop_with_resize(images, k_crop, height, width,
+                                         valid_hw=valid_hw)
     if flip:
         images = random_flip_left_right(images, k_flip)
     if dtype is not None:
@@ -422,7 +439,7 @@ def preprocess_image(
 
 def two_view_pretrain_batch(
     images, key, height, width, color_jitter_strength=1.0,
-    use_blur=True, impl="simclrv2", dtype=None,
+    use_blur=True, impl="simclrv2", dtype=None, valid_hw=None,
 ):
     """Generate the two augmented views for pretraining, fully on device.
 
@@ -434,8 +451,10 @@ def two_view_pretrain_batch(
     if images.dtype == jnp.uint8:
         images = images.astype(jnp.float32) / 255.0
     k1, k2, k_blur = jax.random.split(key, 3)
-    view_a = preprocess_for_train(images, k1, height, width, color_jitter_strength, impl=impl, dtype=dtype)
-    view_b = preprocess_for_train(images, k2, height, width, color_jitter_strength, impl=impl, dtype=dtype)
+    view_a = preprocess_for_train(images, k1, height, width, color_jitter_strength,
+                                  impl=impl, dtype=dtype, valid_hw=valid_hw)
+    view_b = preprocess_for_train(images, k2, height, width, color_jitter_strength,
+                                  impl=impl, dtype=dtype, valid_hw=valid_hw)
     if use_blur:
         view_a, view_b = batch_random_blur([view_a, view_b], k_blur, height, width)
     return jnp.concatenate([view_a, view_b], axis=0)

@@ -58,12 +58,13 @@ def make_train_step(config: Config, model, tx: optax.GradientTransformation,
         labels = batch["label"]
 
         aug_dtype = jnp.bfloat16 if config.compute_dtype == "bfloat16" else None
+        valid_hw = batch.get("valid_hw")  # letterboxed canvas valid region
         if pretrain:
             # Two augmented views, on device (tf2/data.py:52-62 + model blur).
             images = augment.two_view_pretrain_batch(
                 images, k_aug, h, w,
                 color_jitter_strength=config.color_jitter_strength,
-                use_blur=config.use_blur, dtype=aug_dtype,
+                use_blur=config.use_blur, dtype=aug_dtype, valid_hw=valid_hw,
             )
             # Supervised head sees both views: labels doubled
             # (tf2/run.py:596-601).
@@ -72,7 +73,8 @@ def make_train_step(config: Config, model, tx: optax.GradientTransformation,
             # Finetune: single view, crop+flip but no color jitter
             # (tf2/data.py:101-115: jitter strength 0 for finetune).
             images = augment.preprocess_for_train(
-                images, k_aug, h, w, color_jitter_strength=0.0
+                images, k_aug, h, w, color_jitter_strength=0.0,
+                valid_hw=valid_hw,
             )
             sup_label_idx = labels
 
@@ -160,15 +162,17 @@ def make_shard_map_train_step(config: Config, model, tx: optax.GradientTransform
         images = batch["image"].astype(jnp.float32) / 255.0
         labels = batch["label"]
         aug_dtype = jnp.bfloat16 if config.compute_dtype == "bfloat16" else None
+        valid_hw = batch.get("valid_hw")
         if pretrain:
             images = augment.two_view_pretrain_batch(
                 images, k_aug, h, w,
                 color_jitter_strength=config.color_jitter_strength,
-                use_blur=config.use_blur, dtype=aug_dtype,
+                use_blur=config.use_blur, dtype=aug_dtype, valid_hw=valid_hw,
             )
             sup_label_idx = jnp.concatenate([labels, labels], axis=0)
         else:
-            images = augment.preprocess_for_train(images, k_aug, h, w, 0.0)
+            images = augment.preprocess_for_train(images, k_aug, h, w, 0.0,
+                                                  valid_hw=valid_hw)
             sup_label_idx = labels
 
         def loss_fn(params):
@@ -261,9 +265,13 @@ def make_multi_step(train_step: Callable, steps: int) -> Callable:
     return multi_step
 
 
-def make_eval_step(config: Config, model) -> Callable:
+def make_eval_step(config: Config, model, host_preprocessed: bool = False) -> Callable:
     """Eval step: center-crop preprocess + forward + top-1/top-5 sums
-    (tf2/run.py:348-398; padded rows masked like TF1 model.py:191-206)."""
+    (tf2/run.py:348-398; padded rows masked like TF1 model.py:191-206).
+
+    ``host_preprocessed``: the loader already applied the reference eval
+    center-crop at ORIGINAL resolution (variable-size sources) — skip the
+    device crop."""
     h = w = config.image_size
     test_crop = config.image_size > 32  # data.py:152-165: no test crop <=32px
 
@@ -271,7 +279,8 @@ def make_eval_step(config: Config, model) -> Callable:
 
     def eval_step(state: TrainState, batch: Dict[str, jnp.ndarray]):
         images = batch["image"].astype(jnp.float32) / 255.0
-        images = augment.preprocess_for_eval(images, h, w, crop=test_crop)
+        if not host_preprocessed:
+            images = augment.preprocess_for_eval(images, h, w, crop=test_crop)
         labels = batch["label"]
         mask = batch.get("mask", jnp.ones_like(labels, jnp.float32))
         b = images.shape[0]

@@ -69,6 +69,27 @@ def _put_batch(batch, mesh):
     return {k: jax.device_put(v, sharding) for k, v in batch.items()}
 
 
+def choose_steps_per_loop(config: Config, total_steps: int,
+                          checkpoint_steps: int, batch_bytes: int) -> int:
+    """Device-loop length, capped so the scan's staged raw input
+    (spl x batch uint8 canvases) fits the configured HBM budget.
+
+    The reference's iterations_per_loop (run.py:405) stages nothing — TF
+    infeed streams per step — so it never faced this; the XLA scan
+    formulation stages its whole input up front, which at reference scale
+    (batch 4096 x 256^2 canvas = ~0.8 GB/step) must degrade to per-step
+    async dispatch rather than OOM."""
+    spl = config.steps_per_loop or min(config.train_summary_steps, checkpoint_steps, 64)
+    spl = max(1, min(spl, total_steps))
+    budget = config.loop_staging_budget_mb * 1024 * 1024
+    mem_cap = max(1, budget // max(1, batch_bytes))
+    if spl > mem_cap:
+        log.info("steps_per_loop %d -> %d (staging %d MB/batch against a %d MB budget)",
+                 spl, mem_cap, batch_bytes >> 20, config.loop_staging_budget_mb)
+        spl = int(mem_cap)
+    return spl
+
+
 def train(config: Config) -> TrainState:
     assert config.model_dir, "--model_dir is required"
     mesh_lib.maybe_initialize_distributed()
@@ -105,8 +126,9 @@ def train(config: Config) -> TrainState:
     # Device-side loop length (reference iterations_per_loop, run.py:405):
     # amortizes host round-trips; summaries/checkpoints land on loop
     # boundaries like the reference's.
-    spl = config.steps_per_loop or min(config.train_summary_steps, checkpoint_steps, 64)
-    spl = max(1, min(spl, total_steps))
+    canvas = info.image_shape
+    batch_bytes = config.train_batch_size * int(np.prod(canvas)) + 4 * config.train_batch_size
+    spl = choose_steps_per_loop(config, total_steps, checkpoint_steps, batch_bytes)
     multi_fn = (jax.jit(make_multi_step(train_step, spl), donate_argnums=(0,))
                 if spl > 1 else None)
 
@@ -174,7 +196,8 @@ def evaluate(config: Config, state: Optional[TrainState] = None,
         elif config.checkpoint:
             state = ckpt_lib.warm_start(config, state, config.checkpoint)
 
-    eval_step = jax.jit(make_eval_step(config, model))
+    eval_step = jax.jit(make_eval_step(
+        config, model, host_preprocessed=info.eval_host_preprocessed))
 
     sums = {}
     num_seen = 0
