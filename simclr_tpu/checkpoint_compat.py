@@ -147,11 +147,187 @@ def tf1_variable_map(config: Config) -> Dict[str, Tuple[str, Path]]:
     return out
 
 
+def tf2_variable_map(config: Config) -> Dict[str, Tuple[str, Path]]:
+    """Returns {tf2_checkpoint_key: (collection, flax_path)} for the TF2
+    object-path naming (tf2/run.py:308-337 `tf.train.Checkpoint(model=model,
+    ...)` over the keras object graph of tf2/model.py:228-280 +
+    tf2/resnet.py:529-699).
+
+    Keys look like
+    ``model/resnet_model/block_groups/0/layers/1/conv2d_bn_layers/0/conv2d/
+    kernel/.ATTRIBUTES/VARIABLE_VALUE`` — attribute names from the keras
+    layer graph, list layers by index.  Variable-free layers (FixedPadding,
+    pooling, Identity, DropBlock) occupy indices but contribute no keys.
+    """
+    depth = config.resnet_depth
+    block_type, layers = MODEL_PARAMS[depth]
+    sk = config.sk_ratio > 0
+    se = config.se_ratio > 0
+    cifar = config.image_size <= 32
+
+    out: Dict[str, Tuple[str, Path]] = {}
+
+    def vv(key: str) -> str:
+        return f"model/{key}/.ATTRIBUTES/VARIABLE_VALUE"
+
+    def add_conv(tf2_prefix: str, flax_prefix: Path, bias: bool = False):
+        out[vv(f"{tf2_prefix}/kernel")] = ("params", flax_prefix + ("kernel",))
+        if bias:
+            out[vv(f"{tf2_prefix}/bias")] = ("params", flax_prefix + ("bias",))
+
+    def add_bn(tf2_prefix: str, flax_prefix: Path, center: bool = True):
+        out[vv(f"{tf2_prefix}/gamma")] = ("params", flax_prefix + ("scale",))
+        if center:
+            out[vv(f"{tf2_prefix}/beta")] = ("params", flax_prefix + ("bias",))
+        out[vv(f"{tf2_prefix}/moving_mean")] = ("batch_stats", flax_prefix + ("mean",))
+        out[vv(f"{tf2_prefix}/moving_variance")] = ("batch_stats", flax_prefix + ("var",))
+
+    R = ("resnet",)
+    STEM = "resnet_model/initial_conv_relu_max_pool"
+
+    # --- stem (tf2/resnet.py:549-612) ---
+    if cifar:
+        # [conv, Identity, BNR, Identity]
+        add_conv(f"{STEM}/0/conv2d", R + ("initial_conv", "conv2d"))
+        add_bn(f"{STEM}/2/bn", R + ("initial_bn", "batch_norm"))
+    elif sk:
+        # [conv, BNR, conv, BNR, conv, Identity, BNR, MaxPool, Identity]
+        add_conv(f"{STEM}/0/conv2d", R + ("initial_conv_0", "conv2d"))
+        add_bn(f"{STEM}/1/bn", R + ("initial_bn_0", "batch_norm"))
+        add_conv(f"{STEM}/2/conv2d", R + ("initial_conv_1", "conv2d"))
+        add_bn(f"{STEM}/3/bn", R + ("initial_bn_1", "batch_norm"))
+        add_conv(f"{STEM}/4/conv2d", R + ("initial_conv_2", "conv2d"))
+        add_bn(f"{STEM}/6/bn", R + ("initial_bn", "batch_norm"))
+    else:
+        # [conv, Identity, BNR, MaxPool, Identity]
+        add_conv(f"{STEM}/0/conv2d", R + ("initial_conv", "conv2d"))
+        add_bn(f"{STEM}/2/bn", R + ("initial_bn", "batch_norm"))
+
+    # --- block groups (tf2/resnet.py:616-699 + block defs :315-485) ---
+    for g in range(4):
+        strides = 1 if g == 0 else 2
+        for b in range(layers[g]):
+            base = f"resnet_model/block_groups/{g}/layers/{b}"
+            B = R + (f"block_group{g + 1}", f"block_{b}")
+            use_projection = b == 0
+            if block_type == "residual":
+                if use_projection:
+                    # shortcut_layers: sk -> [FixedPadding?, AvgPool, conv,
+                    # BNR]; else [conv, BNR]  (tf2/resnet.py:329-353)
+                    if sk:
+                        i0 = (1 if strides > 1 else 0) + 1  # skip pad + pool
+                        add_conv(f"{base}/shortcut_layers/{i0}/conv2d",
+                                 B + ("proj_conv", "conv2d"))
+                        add_bn(f"{base}/shortcut_layers/{i0 + 1}/bn",
+                               B + ("proj_bn", "batch_norm"))
+                    else:
+                        add_conv(f"{base}/shortcut_layers/0/conv2d",
+                                 B + ("proj_conv", "conv2d"))
+                        add_bn(f"{base}/shortcut_layers/1/bn",
+                               B + ("proj_bn", "batch_norm"))
+                # conv2d_bn_layers: [conv, BNR, conv, BNR] (:355-366)
+                add_conv(f"{base}/conv2d_bn_layers/0/conv2d", B + ("conv_0", "conv2d"))
+                add_bn(f"{base}/conv2d_bn_layers/1/bn", B + ("bn_0", "batch_norm"))
+                add_conv(f"{base}/conv2d_bn_layers/2/conv2d", B + ("conv_1", "conv2d"))
+                add_bn(f"{base}/conv2d_bn_layers/3/bn", B + ("bn_1", "batch_norm"))
+                if se:
+                    add_conv(f"{base}/se_layer/se_reduce", B + ("se", "se_reduce"), bias=True)
+                    add_conv(f"{base}/se_layer/se_expand", B + ("se", "se_expand"), bias=True)
+            else:
+                if use_projection:
+                    # projection_layers (tf2/resnet.py:398-423)
+                    if sk:
+                        i0 = (1 if strides > 1 else 0) + 1
+                        add_conv(f"{base}/projection_layers/{i0}/conv2d",
+                                 B + ("proj_conv", "conv2d"))
+                        add_bn(f"{base}/projection_layers/{i0 + 1}/bn",
+                               B + ("proj_bn", "batch_norm"))
+                    else:
+                        add_conv(f"{base}/projection_layers/0/conv2d",
+                                 B + ("proj_conv", "conv2d"))
+                        add_bn(f"{base}/projection_layers/1/bn",
+                               B + ("proj_bn", "batch_norm"))
+                # conv_relu_dropblock_layers (tf2/resnet.py:429-474):
+                # [conv, BNR, Drop, (SK | conv, BNR), Drop, conv, BNR, Drop,
+                #  SE?]
+                L = f"{base}/conv_relu_dropblock_layers"
+                add_conv(f"{L}/0/conv2d", B + ("conv_0", "conv2d"))
+                add_bn(f"{L}/1/bn", B + ("bn_0", "batch_norm"))
+                if sk:
+                    S = B + ("sk_conv2d",)
+                    add_conv(f"{L}/3/conv2d_fixed_padding/conv2d",
+                             S + ("conv2d_fixed_padding", "conv2d"))
+                    add_bn(f"{L}/3/batch_norm_relu/bn",
+                           S + ("batch_norm_relu", "batch_norm"))
+                    add_conv(f"{L}/3/conv2d_0", S + ("conv2d_0",))
+                    add_bn(f"{L}/3/batch_norm_relu_1/bn",
+                           S + ("batch_norm_relu_1", "batch_norm"))
+                    add_conv(f"{L}/3/conv2d_1", S + ("conv2d_1",))
+                    i_conv2, i_bn2, i_se = 5, 6, 8
+                else:
+                    add_conv(f"{L}/3/conv2d", B + ("conv_1", "conv2d"))
+                    add_bn(f"{L}/4/bn", B + ("bn_1", "batch_norm"))
+                    i_conv2, i_bn2, i_se = 6, 7, 9
+                add_conv(f"{L}/{i_conv2}/conv2d", B + ("conv_2", "conv2d"))
+                add_bn(f"{L}/{i_bn2}/bn", B + ("bn_2", "batch_norm"))
+                if se:
+                    add_conv(f"{L}/{i_se}/se_reduce", B + ("se", "se_reduce"), bias=True)
+                    add_conv(f"{L}/{i_se}/se_expand", B + ("se", "se_expand"), bias=True)
+
+    # --- projection head (tf2/model.py:157-213) ---
+    P = ("projection_head",)
+    if config.proj_head_mode == "linear":
+        out[vv("_projection_head/linear_layers/0/dense/kernel")] = (
+            "params", P + ("l_0", "dense", "kernel"))
+        add_bn("_projection_head/linear_layers/0/bn_relu/bn",
+               P + ("l_0", "bn_relu", "batch_norm"), center=False)
+    elif config.proj_head_mode == "nonlinear":
+        for j in range(config.num_proj_layers):
+            mid = j != config.num_proj_layers - 1
+            nl = f"nl_{j}"
+            out[vv(f"_projection_head/linear_layers/{j}/dense/kernel")] = (
+                "params", P + (nl, "dense", "kernel"))
+            add_bn(f"_projection_head/linear_layers/{j}/bn_relu/bn",
+                   P + (nl, "bn_relu", "batch_norm"), center=mid)
+
+    # --- supervised head (tf2/model.py:216-225) ---
+    H = ("head_supervised", "linear_layer")
+    out[vv("supervised_head/linear_layer/dense/kernel")] = ("params", H + ("dense", "kernel"))
+    out[vv("supervised_head/linear_layer/dense/bias")] = ("params", H + ("dense", "bias"))
+
+    return out
+
+
 def _set_in(tree: dict, path: Path, value):
     node = tree
     for p in path[:-1]:
         node = node.setdefault(p, {})
     node[path[-1]] = value
+
+
+def resolve_tf_checkpoint(path: str):
+    """Return the TF checkpoint prefix when ``path`` designates one (a
+    ``<prefix>`` with ``<prefix>.index`` beside it, or a directory holding TF
+    checkpoints), else None.  Lets --checkpoint accept released TF
+    checkpoints directly, like the reference's init_from_checkpoint
+    (model.py:162-168)."""
+    import os
+
+    if os.path.exists(path + ".index"):
+        return path
+    if os.path.isdir(path):
+        try:
+            import tensorflow as tf
+
+            latest = tf.train.latest_checkpoint(path)
+            if latest:
+                return latest
+        except Exception:
+            pass
+        idx = sorted(f for f in os.listdir(path) if f.endswith(".index"))
+        if idx:
+            return os.path.join(path, idx[-1][:-len(".index")])
+    return None
 
 
 def load_tf_checkpoint(ckpt_path: str) -> Dict[str, np.ndarray]:
@@ -163,12 +339,24 @@ def load_tf_checkpoint(ckpt_path: str) -> Dict[str, np.ndarray]:
     return {name: reader.get_tensor(name) for name in shapes}
 
 
+def detect_tf_naming(tf_vars: Dict[str, np.ndarray]) -> str:
+    """'tf2' for object-path checkpoints (tf.train.Checkpoint keys carry
+    .ATTRIBUTES/VARIABLE_VALUE, tf2/run.py:308-337), else 'tf1' (graph-mode
+    variable names, run.py:388-419)."""
+    return ("tf2" if any(".ATTRIBUTES/VARIABLE_VALUE" in k for k in tf_vars)
+            else "tf1")
+
+
 def import_tf_checkpoint(config: Config, ckpt_path: str,
                          strict: bool = True) -> Tuple[dict, dict]:
     """Load a released TF SimCLR checkpoint into (params, batch_stats) trees
-    matching this framework's model structure."""
+    matching this framework's model structure.  Handles both released naming
+    schemes: TF1 graph auto-numbering and TF2 object paths (auto-detected)."""
     tf_vars = load_tf_checkpoint(ckpt_path)
-    mapping = tf1_variable_map(config)
+    if detect_tf_naming(tf_vars) == "tf2":
+        mapping = tf2_variable_map(config)
+    else:
+        mapping = tf1_variable_map(config)
     params: dict = {}
     batch_stats: dict = {}
     missing: List[str] = []

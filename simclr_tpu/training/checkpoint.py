@@ -110,8 +110,25 @@ def warm_start(config: Config, state: TrainState, checkpoint_path: str) -> Train
 
     Restores the raw saved tree (no target) and takes only params +
     batch_stats — the source run's optimizer state may have a different
-    structure (e.g. pretrain-LARS -> finetune-momentum)."""
+    structure (e.g. pretrain-LARS -> finetune-momentum).
+
+    Also accepts a released TF checkpoint (TF1 graph names or TF2 object
+    paths, auto-detected) like the reference's init_from_checkpoint
+    (model.py:162-168) — the variable_schema filter and zero-init surgery
+    apply identically."""
     import os
+
+    from simclr_tpu import checkpoint_compat as compat
+
+    tf_prefix = compat.resolve_tf_checkpoint(checkpoint_path)
+    if tf_prefix is not None:
+        tf_params, tf_stats = compat.import_tf_checkpoint(
+            config, tf_prefix, strict=False)
+        params = _filter_by_schema(state.params, tf_params, config.variable_schema)
+        if config.zero_init_logits_layer:
+            params = _zero_init_head(params)
+        batch_stats = _filter_by_schema(state.batch_stats, tf_stats, r"?!global_step")
+        return state.replace(params=params, batch_stats=batch_stats)
 
     mngr = ocp.CheckpointManager(checkpoint_path)
     step = mngr.latest_step()
@@ -125,8 +142,9 @@ def warm_start(config: Config, state: TrainState, checkpoint_path: str) -> Train
             step = int(base)
     if step is None:
         raise FileNotFoundError(
-            f"--checkpoint={checkpoint_path} contains no checkpoint steps "
-            "(expected an Orbax run directory or a specific step directory)")
+            f"--checkpoint={checkpoint_path} contains no checkpoints "
+            "(expected an Orbax run directory, a specific step directory, or "
+            "a TF checkpoint prefix/directory)")
     restored = mngr.restore(step)
 
     params = _filter_by_schema(state.params, restored["params"], config.variable_schema)
