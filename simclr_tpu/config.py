@@ -105,6 +105,7 @@ class Config:
     # --- TPU-native additions ---------------------------------------------
     compute_dtype: str = _field("bfloat16", "Activation/matmul dtype on the MXU: bfloat16 | float32.")
     mesh_shape: Optional[str] = _field(None, "Device mesh, e.g. '8' or '4,2' for (data, model); default = all devices on data.")
+    dcn_data_parallelism: int = _field(1, "Number of TPU slices data-parallel over DCN (>1 builds a hybrid ('dcn','data') mesh; collectives reduce hierarchically, heavy traffic stays on ICI).")
     fsdp: bool = _field(False, "Shard parameters/optimizer state across the data axis (ZeRO-style).")
     device_augment: bool = _field(True, "Run the augmentation stack on device (batched) instead of the host.")
     input_pipeline: str = _field("python", "Host batching backend for array/npz/synthetic sources: python | native (C++ threaded) | grain.")

@@ -26,6 +26,7 @@ from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 from simclr_tpu.config import Config
 
 DATA_AXIS = "data"
+DCN_AXIS = "dcn"  # across-slice axis (data-center network, SURVEY §5)
 
 
 def maybe_initialize_distributed():
@@ -35,9 +36,35 @@ def maybe_initialize_distributed():
 
 
 def create_mesh(config: Optional[Config] = None, devices=None) -> Mesh:
-    """Build the device mesh.  Default: 1-D mesh over all devices on the
-    'data' axis (pure DP, the reference's only strategy — SURVEY.md §2.2)."""
+    """Build the device mesh.
+
+    Default: 1-D mesh over all devices on the 'data' axis (pure DP, the
+    reference's only strategy — SURVEY.md §2.2).  With
+    ``--dcn_data_parallelism=S`` > 1 the mesh is 2-D ('dcn', 'data'):
+    the outer axis spans the S slices over DCN and the inner axis the chips
+    within a slice over ICI, so the partitioner's gradient/BN/NT-Xent
+    collectives reduce hierarchically — the heavy traffic rides ICI and only
+    the per-slice partials cross DCN (jax-ml scaling-book multi-slice
+    recipe).  On real multi-slice TPU hardware the device order comes from
+    mesh_utils.create_hybrid_device_mesh; elsewhere (virtual CPU meshes,
+    tests) a plain reshape is used."""
     devices = devices if devices is not None else jax.devices()
+    dcn = getattr(config, "dcn_data_parallelism", 1) if config is not None else 1
+    if dcn and dcn > 1:
+        if len(devices) % dcn:
+            raise ValueError(
+                f"--dcn_data_parallelism={dcn} does not divide {len(devices)} devices")
+        per_slice = len(devices) // dcn
+        try:
+            from jax.experimental import mesh_utils
+
+            arr = mesh_utils.create_hybrid_device_mesh(
+                (per_slice,), (dcn,), devices=devices)
+            # hybrid helper returns (dcn*per,) ordered slice-major
+            arr = np.asarray(arr).reshape(dcn, per_slice)
+        except Exception:  # virtual/CPU meshes have no slice_index metadata
+            arr = np.asarray(devices).reshape(dcn, per_slice)
+        return Mesh(arr, (DCN_AXIS, DATA_AXIS))
     if config is not None and config.mesh_shape:
         shape = tuple(int(x) for x in str(config.mesh_shape).split(","))
     else:
@@ -48,8 +75,14 @@ def create_mesh(config: Optional[Config] = None, devices=None) -> Mesh:
     return Mesh(np.asarray(devices).reshape(shape), axis_names)
 
 
+def batch_axes(mesh: Mesh):
+    """The mesh axes the batch dimension shards over: ('dcn', 'data') on a
+    multi-slice mesh, 'data' otherwise."""
+    return (DCN_AXIS, DATA_AXIS) if DCN_AXIS in mesh.axis_names else DATA_AXIS
+
+
 def batch_sharding(mesh: Mesh) -> NamedSharding:
-    return NamedSharding(mesh, P(DATA_AXIS))
+    return NamedSharding(mesh, P(batch_axes(mesh)))
 
 
 def replicated_sharding(mesh: Mesh) -> NamedSharding:

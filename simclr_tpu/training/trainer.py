@@ -95,6 +95,11 @@ def train(config: Config) -> TrainState:
     mesh_lib.maybe_initialize_distributed()
     mesh = mesh_lib.create_mesh(config)
     log.info("mesh: %s", mesh)
+    if config.use_shard_map and mesh_lib.DCN_AXIS in mesh.axis_names:
+        raise ValueError(
+            "--use_shard_map with --dcn_data_parallelism>1 is not supported; "
+            "the GSPMD path handles hybrid ICI+DCN meshes (hierarchical "
+            "collectives come out of the partitioner)")
     if config.use_fused_ntxent and not config.use_shard_map and mesh.size > 1:
         raise ValueError(
             "--use_fused_ntxent on multiple devices requires "
@@ -151,7 +156,7 @@ def train(config: Config) -> TrainState:
         if multi_fn is not None and remaining >= spl:
             raw = [next(it) for _ in range(spl)]
             stacked = {k: np.stack([b[k] for b in raw]) for k in raw[0]}
-            loop_sharding = NamedSharding(mesh, P(None, mesh_lib.DATA_AXIS))
+            loop_sharding = NamedSharding(mesh, P(None, mesh_lib.batch_axes(mesh)))
             batches = {k: jax.device_put(v, loop_sharding) for k, v in stacked.items()}
             state, metrics = multi_fn(state, batches, base_rng)
             last_images = stacked["image"][0]
