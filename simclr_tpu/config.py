@@ -111,6 +111,8 @@ class Config:
     input_pipeline: str = _field("python", "Host batching backend for array/npz/synthetic sources: python | native (C++ threaded) | grain.")
     use_fused_ntxent: bool = _field(False, "Streaming Pallas NT-Xent (fwd+bwd+metrics; no (2N)^2 logits in HBM). Wins >=1.5x at 2N>=8192 and is ~13x closer to the f64 gradient than the dense XLA path; breakeven below that. Multi-chip: supported on the shard_map path.")
     use_shard_map: bool = _field(False, "Explicit-SPMD train step via shard_map (required for per-replica BN, i.e. global_bn=False, on multi-device).")
+    fused_bn: bool = _field(True, "Fused-VJP batch norm (one reduction pass fwd, one bwd; ops/fused_bn.py). Numerically equivalent to the flax/autodiff path; set false to fall back.")
+    remat_until_block: int = _field(0, "Rematerialise (activation-checkpoint) block groups [0, N): recompute their activations in the backward pass instead of storing them. Use 2-4 for big models (R152 3x+SK) or large per-chip batches.")
     steps_per_loop: int = _field(0, "Device steps per host loop iteration (0 = checkpoint cadence, capped by loop_staging_budget_mb).")
     loop_staging_budget_mb: int = _field(1024, "HBM budget for raw input batches staged per device-loop dispatch; steps_per_loop is capped so spl x batch bytes fits (large-batch configs degrade to per-step async dispatch).")
     seed: int = _field(0, "PRNG seed.")

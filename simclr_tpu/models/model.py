@@ -44,6 +44,7 @@ class SimCLRModel(nn.Module):
     train_mode: str = "pretrain"
     fine_tune_after_block: int = -1
     lineareval_while_pretraining: bool = True
+    remat_until_block: int = 0
     axis_name: Optional[str] = None
     dtype: Any = jnp.float32
 
@@ -54,6 +55,9 @@ class SimCLRModel(nn.Module):
         # (axis_name=None) statistics are global automatically.
         if axis_name is not None and not config.global_bn:
             axis_name = None  # per-replica BN stats (reference global_bn=False)
+        from simclr_tpu.ops import fused_bn
+
+        fused_bn.set_enabled(config.fused_bn)
         return cls(
             num_classes=num_classes,
             resnet_depth=config.resnet_depth,
@@ -69,6 +73,7 @@ class SimCLRModel(nn.Module):
             train_mode=config.train_mode,
             fine_tune_after_block=config.fine_tune_after_block,
             lineareval_while_pretraining=config.lineareval_while_pretraining,
+            remat_until_block=config.remat_until_block,
             axis_name=axis_name,
             dtype=jnp.bfloat16 if config.compute_dtype == "bfloat16" else jnp.float32,
         )
@@ -85,6 +90,7 @@ class SimCLRModel(nn.Module):
             axis_name=self.axis_name,
             train_mode=self.train_mode,
             fine_tune_after_block=self.fine_tune_after_block,
+            remat_until_block=self.remat_until_block,
             dtype=self.dtype,
             name="resnet",
         )(images, train)

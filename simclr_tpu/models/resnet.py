@@ -29,6 +29,8 @@ import jax
 import jax.numpy as jnp
 from flax import linen as nn
 
+from simclr_tpu.ops import fused_bn
+
 BATCH_NORM_EPSILON = 1e-5
 
 # Block-depth table (reference tf2/resnet.py:708-738).
@@ -62,21 +64,92 @@ class BatchNormRelu(nn.Module):
 
     @nn.compact
     def __call__(self, x, train: bool):
-        x = nn.BatchNorm(
-            use_running_average=not train,
-            momentum=self.momentum,
-            epsilon=BATCH_NORM_EPSILON,
-            use_bias=self.center,
-            use_scale=self.scale,
-            scale_init=nn.initializers.zeros if self.init_zero else nn.initializers.ones,
-            axis_name=self.axis_name,
-            dtype=self.dtype,
-            param_dtype=jnp.float32,
-            name="batch_norm",
-        )(x)
+        scale_init = nn.initializers.zeros if self.init_zero else nn.initializers.ones
+        if fused_bn.is_enabled():
+            # Fused-VJP batch norm: one reduction pass forward, one backward
+            # (see ops/fused_bn.py — ~40% of the R50 step was BN reductions
+            # under the flax/autodiff formulation). Identical param/variable
+            # naming, so checkpoints are interchangeable.
+            x = fused_bn.FusedBatchNorm(
+                use_running_average=not train,
+                momentum=self.momentum,
+                epsilon=BATCH_NORM_EPSILON,
+                use_bias=self.center,
+                use_scale=self.scale,
+                scale_init=scale_init,
+                axis_name=self.axis_name,
+                dtype=self.dtype,
+                param_dtype=jnp.float32,
+                name="batch_norm",
+            )(x)
+        else:
+            x = nn.BatchNorm(
+                use_running_average=not train,
+                momentum=self.momentum,
+                epsilon=BATCH_NORM_EPSILON,
+                use_bias=self.center,
+                use_scale=self.scale,
+                scale_init=scale_init,
+                axis_name=self.axis_name,
+                dtype=self.dtype,
+                param_dtype=jnp.float32,
+                name="batch_norm",
+            )(x)
         if self.relu:
             x = nn.relu(x)
         return x
+
+
+# Space-to-depth stem (module-level switch for A/B benchmarks).  The 7x7
+# stride-2 stem conv reads a 3-channel input — 3 of 128 MXU lanes busy.  The
+# classic TPU fix (MLPerf ResNet): pack 2x2 pixel cells into channels
+# ((B,230,230,3) -> (B,115,115,12)) and run the EXACT same convolution as a
+# 4x4 stride-1 conv whose kernel is the zero-padded 8x8 rearrangement of the
+# 7x7 weights.  Bit-for-bit the same sums; the stored parameter stays
+# (7, 7, 3, 64) so checkpoints are unaffected.
+STEM_SPACE_TO_DEPTH = True
+
+
+class _ConvKernel(nn.Module):
+    """Bare conv kernel parameter holder (so the param path matches
+    nn.Conv's `<name>/kernel`)."""
+
+    shape: Tuple[int, ...]
+
+    @nn.compact
+    def __call__(self):
+        return self.param("kernel", conv_kernel_init, self.shape, jnp.float32)
+
+
+class _StemConvS2D(nn.Module):
+    """ImageNet stem conv via space-to-depth; replaces
+    Conv2dFixedPadding(64w, 7, 2).  Param tree identical ("conv2d/kernel",
+    shape (7,7,3,64w))."""
+
+    filters: int
+    dtype: Any = jnp.float32
+
+    @nn.compact
+    def __call__(self, x):
+        c = x.shape[-1]
+        w7 = _ConvKernel((7, 7, c, self.filters), name="conv2d")()
+        x = fixed_padding(x, 7)  # (B, H+6, W+6, C); H+6 even for even H
+        b, h, w, _ = x.shape
+        x = (
+            x.reshape(b, h // 2, 2, w // 2, 2, c)
+            .transpose(0, 1, 3, 2, 4, 5)
+            .reshape(b, h // 2, w // 2, 4 * c)
+        )
+        w8 = jnp.pad(w7, ((0, 1), (0, 1), (0, 0), (0, 0)))  # (8, 8, C, F)
+        wk = (
+            w8.reshape(4, 2, 4, 2, c, self.filters)
+            .transpose(0, 2, 1, 3, 4, 5)
+            .reshape(4, 4, 4 * c, self.filters)
+        )
+        return jax.lax.conv_general_dilated(
+            x.astype(self.dtype), wk.astype(self.dtype), (1, 1), "VALID",
+            dimension_numbers=("NHWC", "HWIO", "NHWC"),
+        )
 
 
 def fixed_padding(x, kernel_size: int):
@@ -92,6 +165,39 @@ def fixed_padding(x, kernel_size: int):
     return jnp.pad(x, ((0, 0), (pad_beg, pad_end), (pad_beg, pad_end), (0, 0)))
 
 
+# 1x1 convolutions as explicit dot_generals (module-level switch so A/B
+# benchmarks can flip it; semantics identical — a pointwise conv IS a
+# matmul over the channel dim, and for stride 2 TF's pad+VALID grid is the
+# ::2 subsample).  Routing them through dot_general hands XLA a clean
+# (M, K) x (K, N) contraction for forward, dX and dW instead of the conv
+# lowering.
+ONE_BY_ONE_DOT = True
+
+
+class _OneByOneConv(nn.Module):
+    """Pointwise conv as a matmul; param tree identical to nn.Conv
+    (kernel (1, 1, C, F)) so checkpoints are interchangeable."""
+
+    features: int
+    strides: int
+    dtype: Any = jnp.float32
+
+    @nn.compact
+    def __call__(self, x):
+        kernel = self.param(
+            "kernel", conv_kernel_init, (1, 1, x.shape[-1], self.features), jnp.float32
+        )
+        if self.strides > 1:
+            x = x[:, :: self.strides, :: self.strides, :]
+        b, h, w, c = x.shape
+        y = jax.lax.dot_general(
+            x.reshape(b * h * w, c),
+            kernel[0, 0].astype(self.dtype),
+            (((1,), (0,)), ((), ())),
+        )
+        return y.reshape(b, h, w, self.features)
+
+
 class Conv2dFixedPadding(nn.Module):
     """Conv with reference padding semantics (tf2/resnet.py:184-211)."""
 
@@ -102,6 +208,9 @@ class Conv2dFixedPadding(nn.Module):
 
     @nn.compact
     def __call__(self, x):
+        if self.kernel_size == 1 and ONE_BY_ONE_DOT:
+            return _OneByOneConv(self.filters, self.strides, dtype=self.dtype,
+                                 name="conv2d")(x)
         if self.strides > 1:
             x = fixed_padding(x, self.kernel_size)
         return nn.Conv(
@@ -364,6 +473,7 @@ class ResNet(nn.Module):
     fine_tune_after_block: int = -1
     dropblock_keep_probs: Optional[Sequence[Optional[float]]] = None
     dropblock_size: Optional[int] = None
+    remat_until_block: int = 0
     dtype: Any = jnp.float32
 
     @nn.compact
@@ -402,7 +512,10 @@ class ResNet(nn.Module):
                 x = bn(name="initial_bn_1")(x, stem_train)
                 x = Conv2dFixedPadding(64 * w, 3, 1, dtype=self.dtype, name="initial_conv_2")(x)
             else:
-                x = Conv2dFixedPadding(64 * w, 7, 2, dtype=self.dtype, name="initial_conv")(x)
+                if STEM_SPACE_TO_DEPTH and x.shape[1] % 2 == 0 and x.shape[2] % 2 == 0:
+                    x = _StemConvS2D(64 * w, dtype=self.dtype, name="initial_conv")(x)
+                else:
+                    x = Conv2dFixedPadding(64 * w, 7, 2, dtype=self.dtype, name="initial_conv")(x)
             endpoints["initial_conv"] = x
             x = bn(name="initial_bn")(x, stem_train)
             x = fixed_padding(x, 3)
@@ -417,7 +530,19 @@ class ResNet(nn.Module):
             if finetune and self.fine_tune_after_block == i:
                 x = jax.lax.stop_gradient(x)
             group_train = train and (not finetune or self.fine_tune_after_block <= i)
-            x = BlockGroup(
+            # Rematerialisation (activation checkpointing): block groups
+            # [0, remat_until_block) save only their inputs and recompute
+            # activations in the backward pass — trades ~1 extra forward of
+            # those groups for HBM (jax.checkpoint; the early groups hold the
+            # large high-resolution activations at low FLOP cost, so
+            # remat_until_block=2 frees most activation memory cheaply).
+            # Required for the big models (R152 3x+SK, 795M params) at
+            # production batch sizes; reference has no analogue (TF handles
+            # memory by lowering batch size).
+            group_cls = BlockGroup
+            if self.remat_until_block > i:
+                group_cls = nn.remat(BlockGroup, static_argnums=(2,))
+            x = group_cls(
                 filters=group_filters[i], block_type=block_type, blocks=layers[i],
                 strides=group_strides[i], sk_ratio=self.sk_ratio, se_ratio=self.se_ratio,
                 bn_momentum=self.bn_momentum, axis_name=self.axis_name,
