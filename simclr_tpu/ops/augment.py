@@ -30,6 +30,7 @@ from typing import Optional, Tuple
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 
 CROP_PROPORTION = 0.875  # data_util.py:25 — standard ImageNet eval crop.
 
@@ -39,16 +40,19 @@ CROP_PROPORTION = 0.875  # data_util.py:25 — standard ImageNet eval crop.
 # ---------------------------------------------------------------------------
 
 def rgb_to_hsv(rgb):
+    """tf.image.rgb_to_hsv semantics; one reciprocal (not three divides) —
+    the jitter chain runs this over the full batch every permutation slot,
+    so VPU op count matters more than readability."""
     r, g, b = rgb[..., 0], rgb[..., 1], rgb[..., 2]
     maxc = jnp.maximum(jnp.maximum(r, g), b)
     minc = jnp.minimum(jnp.minimum(r, g), b)
     v = maxc
     delta = maxc - minc
-    safe_delta = jnp.where(delta > 0, delta, 1.0)
+    inv_delta = 1.0 / jnp.where(delta > 0, delta, 1.0)
     s = jnp.where(maxc > 0, delta / jnp.where(maxc > 0, maxc, 1.0), 0.0)
-    rc = (maxc - r) / safe_delta
-    gc = (maxc - g) / safe_delta
-    bc = (maxc - b) / safe_delta
+    rc = (maxc - r) * inv_delta
+    gc = (maxc - g) * inv_delta
+    bc = (maxc - b) * inv_delta
     h = jnp.where(
         maxc == r, bc - gc, jnp.where(maxc == g, 2.0 + rc - bc, 4.0 + gc - rc)
     )
@@ -58,17 +62,19 @@ def rgb_to_hsv(rgb):
 
 
 def hsv_to_rgb(hsv):
+    """Branch-free HSV->RGB: channel c = v - v*s*clamp(min(k, 4-k), 0, 1)
+    with k = (n + 6h) mod 6, n = 5/3/1 for r/g/b.  The same piecewise-linear
+    function as the classic sextant (p, q, t) table, ~8 VPU ops per channel
+    instead of a 6-way select ladder (18 compares + 3 selects)."""
     h, s, v = hsv[..., 0], hsv[..., 1], hsv[..., 2]
-    i = jnp.floor(h * 6.0)
-    f = h * 6.0 - i
-    p = v * (1.0 - s)
-    q = v * (1.0 - s * f)
-    t = v * (1.0 - s * (1.0 - f))
-    i = i.astype(jnp.int32) % 6
-    r = jnp.select([i == 0, i == 1, i == 2, i == 3, i == 4, i == 5], [v, q, p, p, t, v])
-    g = jnp.select([i == 0, i == 1, i == 2, i == 3, i == 4, i == 5], [t, v, v, q, p, p])
-    b = jnp.select([i == 0, i == 1, i == 2, i == 3, i == 4, i == 5], [p, p, t, v, v, q])
-    return jnp.stack([r, g, b], axis=-1)
+    h6 = h * 6.0
+    vs = v * s
+
+    def chan(n):
+        k = (n + h6) % 6.0
+        return v - vs * jnp.clip(jnp.minimum(k, 4.0 - k), 0.0, 1.0)
+
+    return jnp.stack([chan(5.0), chan(3.0), chan(1.0)], axis=-1)
 
 
 def rgb_to_grayscale(image, keep_channels: bool = True):
@@ -416,17 +422,23 @@ def gaussian_blur(images, sigmas, kernel_size: int):
 
 def batch_random_blur(images_list, key, height, width, blur_probability=0.5):
     """Per-image random-sigma blur + on/off selector
-    (tf2/data_util.py:413-441)."""
-    out = []
+    (tf2/data_util.py:413-441).  All views are blurred in ONE depthwise-conv
+    pair over the concatenated batch (per-view randomness preserved: draws
+    are made per list element exactly as before, then concatenated)."""
+    sigmas, selectors, sizes = [], [], []
     for i, images in enumerate(images_list):
         k_sigma, k_sel = jax.random.split(jax.random.fold_in(key, i))
         b = images.shape[0]
-        sigmas = jax.random.uniform(k_sigma, (b,), minval=0.1, maxval=2.0)
-        blurred = gaussian_blur(images, sigmas, kernel_size=height // 10)
-        selector = jax.random.bernoulli(k_sel, blur_probability, (b, 1, 1, 1))
-        images = jnp.where(selector, blurred, images)
-        out.append(jnp.clip(images, 0.0, 1.0))
-    return out
+        sizes.append(b)
+        sigmas.append(jax.random.uniform(k_sigma, (b,), minval=0.1, maxval=2.0))
+        selectors.append(jax.random.bernoulli(k_sel, blur_probability, (b, 1, 1, 1)))
+    stacked = jnp.concatenate(images_list, axis=0)
+    blurred = gaussian_blur(stacked, jnp.concatenate(sigmas), kernel_size=height // 10)
+    out_all = jnp.clip(
+        jnp.where(jnp.concatenate(selectors, axis=0), blurred, stacked), 0.0, 1.0
+    )
+    splits = np.cumsum(sizes)[:-1]
+    return list(jnp.split(out_all, splits, axis=0))
 
 
 # ---------------------------------------------------------------------------
@@ -478,17 +490,19 @@ def preprocess_for_train(
 ):
     """Batched train-time preprocessing (tf2/data_util.py:444-479).
 
-    ``dtype``: compute dtype for the elementwise color stack (bfloat16 on
-    TPU halves the HBM traffic of the jitter chain; crop-resize stays fp32
-    for bicubic weight precision)."""
+    ``dtype``: compute dtype for the whole stack (bfloat16 on TPU halves
+    the HBM traffic of every pass and puts the crop's bicubic gather-matmuls
+    on the MXU at 2x rate; bf16's ~0.4% relative rounding is far below the
+    augmentation noise this pipeline exists to create — the f32 path remains
+    for dtype=None, and eval preprocessing is always f32)."""
     k_crop, k_flip, k_jitter = jax.random.split(key, 3)
+    if dtype is not None:
+        images = images.astype(dtype)
     if crop:
         images = random_crop_with_resize(images, k_crop, height, width,
                                          valid_hw=valid_hw)
     if flip:
         images = random_flip_left_right(images, k_flip)
-    if dtype is not None:
-        images = images.astype(dtype)
     if color_jitter_strength > 0:
         images = random_color_jitter(images, k_jitter, strength=color_jitter_strength, impl=impl)
     return jnp.clip(images, 0.0, 1.0)
