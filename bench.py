@@ -54,7 +54,9 @@ def main():
     # path): one dispatch, one host fetch.  The loss is fetched to the host,
     # which transitively forces every step in the chain — honest timing even
     # on runtimes where block_until_ready under-synchronizes.
-    steps = 20
+    # 40 steps/dispatch: the ~30 ms tunnel fetch floor amortizes to <1 ms/step
+    # (real training runs steps_per_loop-sized device loops the same way).
+    steps = 40
     from simclr_tpu.training.steps import make_multi_step
 
     multi = jax.jit(make_multi_step(train_step, steps), donate_argnums=(0,))

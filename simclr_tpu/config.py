@@ -74,6 +74,7 @@ class Config:
     fine_tune_after_block: int = _field(-1, "Freeze encoder up to and incl. this block group (-1 = train all; 4 = linear eval).")
     keep_checkpoint_max: int = _field(5, "Maximum checkpoints to keep.")
     keep_hub_module_max: int = _field(1, "Maximum exported serving modules to keep.")
+    export_tf_savedmodel: bool = _field(False, "Also convert each serving bundle to a TF SavedModel (two signatures: frozen-stats + train-mode BN, reference tf2/run.py:241-305) via jax2tf; requires tensorflow importable.")
     model_dir: Optional[str] = _field(None, "Model directory for checkpoints / summaries / results.")
     eval_name: Optional[str] = _field(None, "Name for this eval.")
 

@@ -90,3 +90,81 @@ def load_serving(path: str) -> Callable[..., Dict[str, jnp.ndarray]]:
         return endpoints
 
     return jax.jit(serve, static_argnames=("trainable",))
+
+
+def export_tf_savedmodel(bundle_path: str, out_path: Optional[str] = None) -> str:
+    """Convert a serving bundle to a TF-ecosystem-consumable SavedModel.
+
+    The reference's export is a SavedModel with two concrete functions over a
+    shared variable set — trainable=True (train-mode BN) and trainable=False
+    (frozen statistics) — whose outputs are the salient-tensor dict
+    (tf2/run.py:241-305).  This is that artifact, produced from the JAX
+    model via jax2tf: load with ``tf.saved_model.load(path)`` and call
+    ``m(images)`` / ``m.serve_trainable(images)`` (batch-polymorphic NHWC
+    float32 in [0, 1]); every endpoint name matches the reference
+    (``default``, ``final_avg_pool``, ``proj_head_output``, ...).
+
+    Requires tensorflow importable (CPU is fine); raises ImportError
+    otherwise.  Returns the SavedModel directory.
+    """
+    import tensorflow as tf  # noqa: deferred heavy import
+    from jax.experimental import jax2tf
+
+    with open(os.path.join(bundle_path, "serving_config.json")) as f:
+        cfg_dict = json.load(f)
+    num_classes = cfg_dict.pop("num_classes")
+    cfg_dict.pop("step", None)
+    known = {f.name for f in __import__("dataclasses").fields(Config)}
+    config = Config(**{k: v for k, v in cfg_dict.items() if k in known})
+    variables = ocp.PyTreeCheckpointer().restore(os.path.join(bundle_path, "variables"))
+    model = SimCLRModel.from_config(config, num_classes)
+
+    def fwd(var_in, images, train: bool):
+        if train:
+            out, _ = model.apply(var_in, images, train=True,
+                                 return_endpoints=True, mutable=["batch_stats"])
+        else:
+            out = model.apply(var_in, images, train=False, return_endpoints=True)
+        _, _, endpoints = out
+        endpoints = dict(endpoints)
+        endpoints["default"] = endpoints["final_avg_pool"]
+        return endpoints
+
+    var_in = {"params": variables["params"], "batch_stats": variables["batch_stats"]}
+    hw = config.image_size
+    poly = [None, f"(b, {hw}, {hw}, 3)"]
+
+    class _Module(tf.Module):
+        def __init__(self):
+            super().__init__()
+            # One shared tf.Variable set across both signatures, like the
+            # reference's saved_model.model variables (tf2/run.py:263-284).
+            flat, self._treedef = jax.tree.flatten(var_in)
+            self._tf_vars = [tf.Variable(v, trainable=False) for v in flat]
+            self._serve = jax2tf.convert(
+                lambda vs, im: fwd(jax.tree.unflatten(self._treedef, vs), im, False),
+                polymorphic_shapes=poly, with_gradient=False)
+            self._train = jax2tf.convert(
+                lambda vs, im: fwd(jax.tree.unflatten(self._treedef, vs), im, True),
+                polymorphic_shapes=poly, with_gradient=False)
+
+        @tf.function(autograph=False,
+                     input_signature=[tf.TensorSpec([None, hw, hw, 3], tf.float32)])
+        def __call__(self, images):
+            return self._serve(self._tf_vars, images)
+
+        @tf.function(autograph=False,
+                     input_signature=[tf.TensorSpec([None, hw, hw, 3], tf.float32)])
+        def serve_trainable(self, images):
+            return self._train(self._tf_vars, images)
+
+    module = _Module()
+    out_path = out_path or os.path.join(bundle_path, "tf_saved_model")
+    tf.saved_model.save(
+        module, out_path,
+        signatures={
+            "serving_default": module.__call__.get_concrete_function(),
+            "serving_trainable": module.serve_trainable.get_concrete_function(),
+        },
+    )
+    return out_path

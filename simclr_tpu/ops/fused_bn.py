@@ -36,6 +36,7 @@ checkpoints and the TF import shim (checkpoint_compat.py) are unaffected.
 from __future__ import annotations
 
 import functools
+import math
 from typing import Any, Optional
 
 import jax
@@ -82,7 +83,9 @@ def bn_train(x, scale, bias, eps: float, axis_name: Optional[str]):
 def _bn_train_fwd_impl(x, scale, bias, eps, axis_name):
     xf = x.astype(jnp.float32)
     axes = tuple(range(x.ndim - 1))
-    n = float(np.prod(x.shape[:-1]))
+    # math.prod keeps symbolic dims symbolic (jax2tf shape polymorphism);
+    # for concrete shapes it's a plain int and the division promotes to f32.
+    n = math.prod(x.shape[:-1])
     # Written side by side so XLA sibling-fuses both sums into one pass.
     s = jnp.sum(xf, axis=axes)
     q = jnp.sum(xf * xf, axis=axes)
@@ -107,7 +110,7 @@ def _bn_train_vjp_bwd(eps, axis_name, res, cotangents):
     xf = x.astype(jnp.float32)
     dyf = dy.astype(jnp.float32)
     axes = tuple(range(x.ndim - 1))
-    n = float(np.prod(x.shape[:-1]))
+    n = math.prod(x.shape[:-1])
     xhat = (xf - mean) * rstd
     # One fused pass over (dy, x).
     sd = jnp.sum(dyf, axis=axes)

@@ -246,9 +246,13 @@ def evaluate(config: Config, state: Optional[TrainState] = None,
     # Export the serving bundle at eval time like the reference
     # (run.py:354-360 hub export inside perform_evaluation).
     try:
-        from simclr_tpu.export import export_serving
+        from simclr_tpu.export import export_serving, export_tf_savedmodel
 
-        export_serving(config, state, info.num_classes)
+        bundle = export_serving(config, state, info.num_classes)
+        if config.export_tf_savedmodel:
+            # TF-ecosystem artifact for the colabs / Hub consumers
+            # (tf2/run.py:241-305); opt-in, needs tensorflow importable.
+            export_tf_savedmodel(bundle)
     except Exception as e:  # export must not break eval
         log.warning("serving export failed: %s", e)
     log.info("eval @ step %d: %s", step, result)
