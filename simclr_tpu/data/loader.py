@@ -147,10 +147,14 @@ class SyntheticDataset:
         idx = self.start_step
         while True:
             rng = np.random.RandomState((base * 1000003 + idx) % (2 ** 31 - 1))
-            yield {
-                "image": rng.randint(0, 256, size=(self.batch_size, h, w, c), dtype=np.uint8),
-                "label": rng.randint(0, self.num_classes, size=(self.batch_size,)).astype(np.int32),
-            }
+            # Global batch generated identically on every process, then each
+            # takes its contiguous slice — so an N-process run consumes the
+            # SAME global batch sequence as a single-process run (tested by
+            # the multi-process equivalence test).
+            images = rng.randint(0, 256, size=(self.batch_size, h, w, c), dtype=np.uint8)
+            labels = rng.randint(0, self.num_classes, size=(self.batch_size,)).astype(np.int32)
+            images, labels = shard_for_process(images, labels)
+            yield {"image": images, "label": labels}
             idx += 1
 
 
@@ -196,7 +200,10 @@ class ArrayDataset:
                 perm = rng.permutation(n)
                 for b in range(offset, bpe):
                     idx = perm[b * bs:(b + 1) * bs]
-                    yield {"image": self.images[idx], "label": self.labels[idx]}
+                    # Multi-process: same global permutation everywhere, each
+                    # process yields its contiguous slice of the batch.
+                    images, labels = shard_for_process(self.images[idx], self.labels[idx])
+                    yield {"image": images, "label": labels}
                 offset = 0
                 epoch += 1
         else:
@@ -204,7 +211,8 @@ class ArrayDataset:
                 idx = np.arange(i, min(i + bs, n))
                 if len(idx) < bs:  # pad final batch (mask handled by caller)
                     idx = np.concatenate([idx, np.zeros(bs - len(idx), np.int64)])
-                yield {"image": self.images[idx], "label": self.labels[idx]}
+                images, labels = shard_for_process(self.images[idx], self.labels[idx])
+                yield {"image": images, "label": labels}
 
 
 # ---------------------------------------------------------------------------
@@ -293,6 +301,15 @@ class TFDSStream:
                 return {"image": eval_fn(image), "label": tf.cast(label, tf.int32)}
 
         ds = ds.map(map_fn, num_parallel_calls=tf.data.AUTOTUNE)
+        # Multi-process: the stream above is sharded per process, so each
+        # host batches its 1/process_count share of the global batch
+        # (reference input_context.get_per_replica_batch_size,
+        # tf2/data.py:43-47).
+        if jax.process_count() > 1:
+            if bs % jax.process_count():
+                raise ValueError(
+                    f"batch size {bs} not divisible by {jax.process_count()} processes")
+            bs = bs // jax.process_count()
         ds = ds.batch(bs, drop_remainder=is_training)
         self._ds = ds
         self._bs = bs

@@ -30,9 +30,31 @@ DCN_AXIS = "dcn"  # across-slice axis (data-center network, SURVEY §5)
 
 
 def maybe_initialize_distributed():
-    """Multi-host bring-up (reference N4).  No-op for single-process."""
-    if int(os.environ.get("SIMCLR_TPU_NUM_PROCESSES", "1")) > 1:
+    """Multi-host bring-up (reference N4).  No-op for single-process.
+
+    On TPU pods ``jax.distributed.initialize()`` auto-detects the cluster;
+    elsewhere (CPU gloo tests, bespoke clusters) the coordinator/process
+    identity comes from SIMCLR_TPU_{COORDINATOR,PROCESS_ID} env vars.
+    Idempotent: repeated calls (train then eval in one process) are no-ops.
+    """
+    global _DISTRIBUTED_UP
+    if int(os.environ.get("SIMCLR_TPU_NUM_PROCESSES", "1")) <= 1:
+        return
+    if _DISTRIBUTED_UP:  # NB: probing jax.process_count() here would itself
+        return           # initialize the backend, defeating the purpose.
+    coord = os.environ.get("SIMCLR_TPU_COORDINATOR")
+    if coord:
+        jax.distributed.initialize(
+            coordinator_address=coord,
+            num_processes=int(os.environ["SIMCLR_TPU_NUM_PROCESSES"]),
+            process_id=int(os.environ["SIMCLR_TPU_PROCESS_ID"]),
+        )
+    else:
         jax.distributed.initialize()
+    _DISTRIBUTED_UP = True
+
+
+_DISTRIBUTED_UP = False
 
 
 def create_mesh(config: Optional[Config] = None, devices=None) -> Mesh:

@@ -66,7 +66,17 @@ def init_state(config: Config, model, tx, mesh, canvas_shape) -> TrainState:
 
 def _put_batch(batch, mesh):
     sharding = mesh_lib.batch_sharding(mesh)
-    return {k: jax.device_put(v, sharding) for k, v in batch.items()}
+    return {k: _put_global(v, sharding) for k, v in batch.items()}
+
+
+def _put_global(x, sharding):
+    """Place a host batch on the mesh.  Multi-process: each process holds
+    its contiguous slice of the global batch (loaders shard per process,
+    reference tf2/data.py:43-47 input_context semantics) and contributes it
+    as its addressable shards of one global jax.Array."""
+    if jax.process_count() > 1:
+        return jax.make_array_from_process_local_data(sharding, np.asarray(x))
+    return jax.device_put(x, sharding)
 
 
 def choose_steps_per_loop(config: Config, total_steps: int,
@@ -157,7 +167,7 @@ def train(config: Config) -> TrainState:
             raw = [next(it) for _ in range(spl)]
             stacked = {k: np.stack([b[k] for b in raw]) for k in raw[0]}
             loop_sharding = NamedSharding(mesh, P(None, mesh_lib.batch_axes(mesh)))
-            batches = {k: jax.device_put(v, loop_sharding) for k, v in stacked.items()}
+            batches = {k: _put_global(v, loop_sharding) for k, v in stacked.items()}
             state, metrics = multi_fn(state, batches, base_rng)
             last_images = stacked["image"][0]
             done = spl
@@ -214,13 +224,17 @@ def evaluate(config: Config, state: Optional[TrainState] = None,
         # Mask out padded rows of the final batch (TF1 pad_to_batch parity,
         # data.py:31-100).
         remaining = target - num_seen
-        bs = len(batch["label"])
-        mask = (np.arange(bs) < remaining).astype(np.float32)
+        bs_local = len(batch["label"])
+        bs_global = bs_local * jax.process_count()
+        # Multi-process: this host holds a contiguous slice of the global
+        # batch, so its rows' *global* indices decide the padding mask.
+        offset = jax.process_index() * bs_local
+        mask = ((offset + np.arange(bs_local)) < remaining).astype(np.float32)
         batch = dict(batch, mask=mask)
         out = jax.device_get(eval_step(state, _put_batch(batch, mesh)))
         for k, v in out.items():
             sums[k] = sums.get(k, 0.0) + float(v)
-        num_seen += int(mask.sum())
+        num_seen += int(min(remaining, bs_global))
         num_batches += 1
         if num_seen >= target:
             break

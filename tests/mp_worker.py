@@ -1,0 +1,57 @@
+"""Subprocess entry point for the multi-process distributed test.
+
+Each worker is one 'host' of a 2-process x 4-virtual-CPU-device cluster
+(gloo collectives over the jax.distributed coordination service) running the
+real trainer end-to-end — the JAX-native analogue of the reference's
+multi-host TPU bring-up (run.py:391-399, tf2/run.py:491-502).
+
+Usage: python mp_worker.py <process_id> <num_processes> <port> <model_dir>
+Prints ``CHECKSUM <sum |params|>`` on success; the parent asserts both
+processes agree and match a single-process 8-device run bit-for-batch
+(identical global batches by loader construction).
+"""
+
+import os
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+
+def main():
+    pid, nproc, port, model_dir = (
+        int(sys.argv[1]), int(sys.argv[2]), sys.argv[3], sys.argv[4])
+    os.environ["XLA_FLAGS"] = "--xla_force_host_platform_device_count=4"
+    os.environ["SIMCLR_TPU_NUM_PROCESSES"] = str(nproc)
+    os.environ["SIMCLR_TPU_COORDINATOR"] = f"localhost:{port}"
+    os.environ["SIMCLR_TPU_PROCESS_ID"] = str(pid)
+
+    import jax
+
+    jax.config.update("jax_platforms", "cpu")
+    jax.config.update("jax_cpu_collectives_implementation", "gloo")
+
+    # Bring the cluster up BEFORE importing the trainer stack — orbax etc.
+    # touch the XLA backend at import time, after which initialize() fails.
+    from simclr_tpu.parallel import mesh as mesh_lib
+
+    mesh_lib.maybe_initialize_distributed()
+
+    import numpy as np
+
+    from simclr_tpu.config import Config
+    from simclr_tpu.training import trainer
+
+    config = Config(
+        dataset="synthetic", image_size=32, resnet_depth=18,
+        train_batch_size=16, eval_batch_size=16, train_steps=3,
+        train_mode="pretrain", train_summary_steps=1, model_dir=model_dir,
+    )
+    state = trainer.train(config)
+    checksum = float(sum(
+        np.abs(np.asarray(jax.device_get(x), np.float64)).sum()
+        for x in jax.tree.leaves(state.params)))
+    print(f"CHECKSUM {checksum:.8f}", flush=True)
+
+
+if __name__ == "__main__":
+    main()
