@@ -264,18 +264,29 @@ def resize_bicubic(images, height, width):
     return jax.image.resize(images, (b, height, width, c), method="cubic", antialias=False)
 
 
-def _crop_resize_one(image, box, height, width):
+def _crop_resize_one(image, box, height, width, flip=None):
     """Crop ``box`` = (y0, x0, ch, cw) in pixels and resize to (height,
     width) with bicubic sampling.  Expressed via scale_and_translate so the
     gather weights become two small dense matmuls on the MXU; box coords may
-    be traced values (per-image randomness under one compiled kernel)."""
+    be traced values (per-image randomness under one compiled kernel).
+
+    ``flip``: optional traced bool — mirrors the horizontal sampling
+    coordinates (scale -s, translation W - t), which equals flipping the
+    resized crop afterwards (max |diff| ~4e-6 f32) but costs NOTHING: the
+    flip rides the same two sampling matmuls instead of a separate
+    reversal pass over the batch."""
     y0, x0, ch, cw = box
-    scale = jnp.array([height / ch, width / cw], jnp.float32)
-    translation = -scale * jnp.array([y0, x0], jnp.float32)
+    sy = jnp.float32(height) / ch
+    sx = jnp.float32(width) / cw
+    ty = -sy * y0
+    tx = -sx * x0
+    if flip is not None:
+        tx = jnp.where(flip, width - tx, tx)
+        sx = jnp.where(flip, -sx, sx)
     return jax.image.scale_and_translate(
         image, (height, width, image.shape[-1]), (0, 1, 2),
-        jnp.concatenate([scale, jnp.ones((1,), jnp.float32)]),
-        jnp.concatenate([translation, jnp.zeros((1,), jnp.float32)]),
+        jnp.stack([sy, sx, jnp.float32(1.0)]),
+        jnp.stack([ty, tx, jnp.float32(0.0)]),
         method="cubic", antialias=False,
     )
 
@@ -329,12 +340,14 @@ def sample_distorted_box(
     return y0, x0, h_sel, w_sel
 
 
-def crop_and_resize(images, key, height, width, valid_hw=None):
+def crop_and_resize(images, key, height, width, valid_hw=None, flips=None):
     """Batched random distorted crop + bicubic resize (data_util.py:303-325).
 
     ``valid_hw``: optional int (B, 2) valid region per image — crops are
     sampled inside it so letterboxed canvases reproduce the reference's
     crop-geometry distribution on the original image (data_util.py:252-325).
+    ``flips``: optional (B,) bool — fold a horizontal flip of each crop into
+    its sampling weights (see _crop_resize_one).
     """
     b, h0, w0, _ = images.shape
     aspect = width / height
@@ -345,17 +358,19 @@ def crop_and_resize(images, key, height, width, valid_hw=None):
     else:
         vh = valid_hw[:, 0].astype(jnp.float32)
         vw = valid_hw[:, 1].astype(jnp.float32)
+    if flips is None:
+        flips = jnp.zeros((b,), bool)
 
-    def one(image, k, ih, iw):
+    def one(image, k, ih, iw, fl):
         box = sample_distorted_box(
             k, ih, iw,
             aspect_ratio_range=(3.0 / 4 * aspect, 4.0 / 3 * aspect),
             area_range=(0.08, 1.0),
             min_object_covered=0.1,
         )
-        return _crop_resize_one(image, box, height, width)
+        return _crop_resize_one(image, box, height, width, flip=fl)
 
-    return jax.vmap(one)(images, keys, vh, vw)
+    return jax.vmap(one)(images, keys, vh, vw, flips)
 
 
 def center_crop(images, height, width, crop_proportion=CROP_PROPORTION):
@@ -433,10 +448,19 @@ def batch_random_blur(images_list, key, height, width, blur_probability=0.5):
         sigmas.append(jax.random.uniform(k_sigma, (b,), minval=0.1, maxval=2.0))
         selectors.append(jax.random.bernoulli(k_sel, blur_probability, (b, 1, 1, 1)))
     stacked = jnp.concatenate(images_list, axis=0)
-    blurred = gaussian_blur(stacked, jnp.concatenate(sigmas), kernel_size=height // 10)
-    out_all = jnp.clip(
-        jnp.where(jnp.concatenate(selectors, axis=0), blurred, stacked), 0.0, 1.0
-    )
+    sig = jnp.concatenate(sigmas)
+    sel = jnp.concatenate(selectors, axis=0)
+    if jax.default_backend() == "tpu":
+        # One-pass-per-image Pallas kernel (taps + selector + clip in VMEM);
+        # also ~4 orders of magnitude closer to the f64 oracle than the conv
+        # path, whose MXU multiplies round to bf16 (ops/blur_pallas.py).
+        from simclr_tpu.ops.blur_pallas import fused_blur_apply
+
+        out_all = fused_blur_apply(stacked, sig, sel.reshape(-1),
+                                   kernel_size=height // 10)
+    else:
+        blurred = gaussian_blur(stacked, sig, kernel_size=height // 10)
+        out_all = jnp.clip(jnp.where(sel, blurred, stacked), 0.0, 1.0)
     splits = np.cumsum(sizes)[:-1]
     return list(jnp.split(out_all, splits, axis=0))
 
@@ -455,18 +479,23 @@ def batched_random_apply(fn, p, images, key):
     return jnp.where(gate, applied, images)
 
 
-def random_crop_with_resize(images, key, height, width, p=1.0, valid_hw=None):
+def random_crop_with_resize(images, key, height, width, p=1.0, valid_hw=None,
+                            flips=None):
     """tf2/data_util.py:364-380.  The not-applied branch resizes the full
     image to the target size (shapes must match post-op; at the reference's
     default p=1.0 only the crop branch exists)."""
     if p >= 1.0:
-        return crop_and_resize(images, key, height, width, valid_hw=valid_hw)
+        return crop_and_resize(images, key, height, width, valid_hw=valid_hw,
+                               flips=flips)
     k_gate, k_fn = jax.random.split(key)
     applied = crop_and_resize(images, k_fn, height, width, valid_hw=valid_hw)
     not_applied = (images if images.shape[1:3] == (height, width)
                    else resize_bicubic(images, height, width))
     gate = jax.random.bernoulli(k_gate, p, (images.shape[0], 1, 1, 1))
-    return jnp.where(gate, applied, not_applied)
+    out = jnp.where(gate, applied, not_applied)
+    if flips is not None:  # can't fold into the not-applied branch
+        out = jnp.where(flips[:, None, None, None], out[:, :, ::-1, :], out)
+    return out
 
 
 def random_color_jitter(images, key, p=1.0, strength=1.0, impl="simclrv2"):
@@ -498,10 +527,18 @@ def preprocess_for_train(
     k_crop, k_flip, k_jitter = jax.random.split(key, 3)
     if dtype is not None:
         images = images.astype(dtype)
-    if crop:
+    if crop and flip:
+        # Flip folded into the crop's sampling weights — same decisions as
+        # random_flip_left_right(k_flip) (identical bernoulli draw), zero
+        # extra passes over the batch.
+        flips = jax.random.bernoulli(
+            k_flip, 0.5, (images.shape[0], 1, 1, 1)).reshape(-1)
+        images = random_crop_with_resize(images, k_crop, height, width,
+                                         valid_hw=valid_hw, flips=flips)
+    elif crop:
         images = random_crop_with_resize(images, k_crop, height, width,
                                          valid_hw=valid_hw)
-    if flip:
+    elif flip:
         images = random_flip_left_right(images, k_flip)
     if color_jitter_strength > 0:
         images = random_color_jitter(images, k_jitter, strength=color_jitter_strength, impl=impl)
