@@ -564,9 +564,64 @@ def preprocess_image(
     return preprocess_for_eval(images, height, width, test_crop)
 
 
+def _jitter_draws(key, b):
+    """Reproduce random_color_jitter's draw tree (the exact key splits of
+    batched_random_apply -> color_jitter -> _color_jitter_rand_batched) as
+    flat tables for the fused Pallas color kernel — gating decisions match
+    the XLA path bit-for-bit."""
+    _, k_fn0 = jax.random.split(key)          # outer p=1.0 random_apply
+    k1, k2 = jax.random.split(k_fn0)          # _transform: jitter / grayscale
+    k1_gate, k1_fn = jax.random.split(k1)
+    jitter_gate = jax.random.bernoulli(k1_gate, 0.8, (b, 1, 1, 1)).reshape(-1)
+    keys = jax.random.split(k1_fn, b)
+    sub = jax.vmap(lambda k: jax.random.split(k, 5))(keys)
+    perm = jax.vmap(lambda k: jax.random.permutation(k, 4))(sub[:, 0])
+    u = jnp.stack(
+        [jax.vmap(lambda k: jax.random.uniform(k, ()))(sub[:, i + 1])
+         for i in range(4)], axis=1)
+    k2_gate, _ = jax.random.split(k2)
+    gray_gate = jax.random.bernoulli(k2_gate, 0.2, (b, 1, 1, 1)).reshape(-1)
+    return jitter_gate, perm, u, gray_gate
+
+
+def _two_view_fused_color(images, keys_jitter, k_blur, height, width,
+                          strength, use_blur, impl, interpret=False):
+    """Jitter+grayscale+blur for both (already cropped+flipped) views in one
+    Pallas pass (ops/color_pipeline_pallas.py)."""
+    from simclr_tpu.ops.color_pipeline_pallas import fused_color_pipeline
+
+    b = images.shape[0] // 2
+    draws = [_jitter_draws(k, b) for k in keys_jitter]
+    jit_gate = jnp.concatenate([d[0] for d in draws])
+    perm = jnp.concatenate([d[1] for d in draws])
+    u = jnp.concatenate([d[2] for d in draws])
+    gray_gate = jnp.concatenate([d[3] for d in draws])
+    if use_blur:
+        sig, sel = [], []
+        for i in range(2):  # batch_random_blur's per-view draws
+            k_sigma, k_sel = jax.random.split(jax.random.fold_in(k_blur, i))
+            sig.append(jax.random.uniform(k_sigma, (b,), minval=0.1, maxval=2.0))
+            sel.append(jax.random.bernoulli(k_sel, 0.5, (b, 1, 1, 1)).reshape(-1))
+        sigmas = jnp.concatenate(sig)
+        blur_gate = jnp.concatenate(sel)
+        kernel_size = height // 10
+    else:
+        sigmas = jnp.zeros((2 * b,), jnp.float32)
+        blur_gate = jnp.zeros((2 * b,), bool)
+        kernel_size = 0
+    gates = jnp.stack([jit_gate, gray_gate, blur_gate], axis=1).astype(jnp.int32)
+    s = strength
+    return fused_color_pipeline(
+        images, perm, u, gates, sigmas,
+        brightness=0.8 * s, contrast=0.8 * s, saturation=0.8 * s, hue=0.2 * s,
+        v1_brightness=(impl == "simclrv1"),
+        kernel_size=kernel_size, interpret=interpret)
+
+
 def two_view_pretrain_batch(
     images, key, height, width, color_jitter_strength=1.0,
     use_blur=True, impl="simclrv2", dtype=None, valid_hw=None,
+    color_impl=None,
 ):
     """Generate the two augmented views for pretraining, fully on device.
 
@@ -574,10 +629,32 @@ def two_view_pretrain_batch(
     rows [0, B), view b = rows [B, 2B)), matching the model's expectation
     and the reference's channel-concat + split + batch-concat dance
     (tf2/data.py:52-62, tf2/model.py:250-259) in one shot.
+
+    ``color_impl``: None = auto (fused Pallas color kernel on TPU, XLA
+    elsewhere), or explicitly "xla" / "pallas" / "pallas_interpret".
+    Both paths draw identical randomness; the fused path computes in f32
+    (like the reference's host CPU math) where XLA uses ``dtype``.
     """
     if images.dtype == jnp.uint8:
         images = images.astype(jnp.float32) / 255.0
     k1, k2, k_blur = jax.random.split(key, 3)
+    if color_impl is None:
+        color_impl = "pallas" if jax.default_backend() == "tpu" else "xla"
+    if color_impl != "xla" and color_jitter_strength > 0:
+        views = []
+        keys_jitter = []
+        for k in (k1, k2):
+            k_crop, k_flip, k_jitter = jax.random.split(k, 3)
+            imgs = images.astype(dtype) if dtype is not None else images
+            flips = jax.random.bernoulli(
+                k_flip, 0.5, (imgs.shape[0], 1, 1, 1)).reshape(-1)
+            views.append(random_crop_with_resize(
+                imgs, k_crop, height, width, valid_hw=valid_hw, flips=flips))
+            keys_jitter.append(k_jitter)
+        return _two_view_fused_color(
+            jnp.concatenate(views, axis=0), keys_jitter, k_blur, height,
+            width, color_jitter_strength, use_blur, impl,
+            interpret=(color_impl == "pallas_interpret"))
     view_a = preprocess_for_train(images, k1, height, width, color_jitter_strength,
                                   impl=impl, dtype=dtype, valid_hw=valid_hw)
     view_b = preprocess_for_train(images, k2, height, width, color_jitter_strength,

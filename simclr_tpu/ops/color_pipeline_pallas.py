@@ -1,0 +1,217 @@
+"""Whole post-crop augmentation chain as ONE Pallas TPU kernel (SURVEY N8/N9).
+
+The reference applies random-order color jitter, random grayscale and random
+blur per image on the host (data_util.py:120-181, 387-394, 417-444).  The
+XLA device port computes, per permutation slot, ALL candidate ops for every
+image and selects (SPMD over the batch), and round-trips the batch through
+HBM once per stage.  This kernel processes one image per grid program
+entirely in VMEM, planar layout (C, H, W):
+
+  * 4 jitter slots — `lax.switch` on the slot's op, so each image computes
+    ONLY its drawn op (brightness / contrast / saturation / hue), not all
+    three variants; gated per image at p=0.8;
+  * grayscale (p=0.2 gate);
+  * separable gaussian blur — vertical taps as sublane shifts per plane,
+    horizontal taps across an in-VMEM transpose, selector-gated (p=0.5);
+  * clips placed exactly where the XLA ops it replaces clip.
+
+All tensor values inside the kernel are strictly 2D (H, W) planes — Mosaic's
+layout inference aborts on 3D intermediates — and flow through the kernel as
+a (r, g, b) tuple.
+
+All randomness is drawn OUTSIDE with byte-identical key splits to the XLA
+path (ops/augment.py::_jitter_draws) and enters as small SMEM tables, so
+gating decisions match the non-Pallas path bit-for-bit; arithmetic runs in
+f32 (the reference computes f32 on host CPU), where the XLA path computes in
+the image dtype.  Equivalence: interpreter-mode test in
+tests/test_fused_kernels.py (max |diff| ~2e-6 vs the XLA path at f32).
+
+Forward-only: augmentation sits outside the loss closure (no gradients).
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+
+def _hsv_split(r, g, b):
+    """rgb -> (h6 in [0,6), s, v) — branch-free, matches augment.rgb_to_hsv
+    up to the h*6 scaling (kept unscaled to save ops in chan())."""
+    maxc = jnp.maximum(jnp.maximum(r, g), b)
+    minc = jnp.minimum(jnp.minimum(r, g), b)
+    delta = maxc - minc
+    inv_delta = 1.0 / jnp.where(delta > 0, delta, 1.0)
+    rc = (maxc - r) * inv_delta
+    gc = (maxc - g) * inv_delta
+    bc = (maxc - b) * inv_delta
+    h = jnp.where(maxc == r, bc - gc,
+                  jnp.where(maxc == g, 2.0 + rc - bc, 4.0 + gc - rc))
+    h6 = jnp.where(delta > 0, h % 6.0, 0.0)
+    s = jnp.where(maxc > 0, delta / jnp.where(maxc > 0, maxc, 1.0), 0.0)
+    return h6, s, maxc
+
+
+def _hsv_merge(h6, s, v):
+    """(h6, s, v) -> (r, g, b), branch-free sextant (augment.hsv_to_rgb)."""
+    vs = v * s
+
+    def chan(n):
+        k = (n + h6) % 6.0
+        return v - vs * jnp.clip(jnp.minimum(k, 4.0 - k), 0.0, 1.0)
+
+    return chan(5.0), chan(3.0), chan(1.0)
+
+
+def _color_kernel(perm_ref, u_ref, gate_ref, tap_ref, x_ref, out_ref, *,
+                  radius: int, brightness: float, contrast: float,
+                  saturation: float, hue: float, v1_brightness: bool):
+    i = pl.program_id(0)
+    h, w = x_ref.shape[2], x_ref.shape[3]
+    # out_ref doubles as the working buffer between stages (writing to input
+    # refs is not guaranteed to stick).
+    out_ref[0, 0] = x_ref[0, 0]
+    out_ref[0, 1] = x_ref[0, 1]
+    out_ref[0, 2] = x_ref[0, 2]
+
+    def read():
+        return (out_ref[0, 0].astype(jnp.float32),
+                out_ref[0, 1].astype(jnp.float32),
+                out_ref[0, 2].astype(jnp.float32))
+
+    def write(r, g, b):
+        out_ref[0, 0] = r.astype(out_ref.dtype)
+        out_ref[0, 1] = g.astype(out_ref.dtype)
+        out_ref[0, 2] = b.astype(out_ref.dtype)
+
+    def slot(rgb, op, u):
+        def each(f, rgb):
+            return (f(rgb[0]), f(rgb[1]), f(rgb[2]))
+
+        def do_brightness(rgb):
+            if not brightness:
+                return rgb
+            if v1_brightness:
+                d = u * (2.0 * brightness) - brightness
+                return each(lambda x: x + d, rgb)
+            lo = max(1.0 - brightness, 0.0)
+            f = u * ((1.0 + brightness) - lo) + lo
+            return each(lambda x: x * f, rgb)
+
+        def do_contrast(rgb):
+            if not contrast:
+                return rgb
+            f = u * (2.0 * contrast) + (1.0 - contrast)
+            return each(lambda x: (x - jnp.mean(x)) * f + jnp.mean(x), rgb)
+
+        def do_sat_or_hue(rgb, is_hue):
+            if not (saturation or hue):
+                return rgb
+            r, g, b = each(lambda x: jnp.clip(x, 0.0, 1.0), rgb)
+            h6, s, v = _hsv_split(r, g, b)
+            if hue:
+                dh6 = (u * (2.0 * hue) - hue) * 6.0
+                h6 = jnp.where(is_hue, (h6 + dh6) % 6.0, h6)
+            if saturation:
+                fs = u * (2.0 * saturation) + (1.0 - saturation)
+                s = jnp.where(is_hue, s, jnp.clip(s * fs, 0.0, 1.0))
+            return _hsv_merge(h6, s, v)
+
+        out = jax.lax.switch(op, [
+            do_brightness,
+            do_contrast,
+            lambda rgb: do_sat_or_hue(rgb, False),
+            lambda rgb: do_sat_or_hue(rgb, True),
+        ], rgb)
+        return each(lambda x: jnp.clip(x, 0.0, 1.0), out)
+
+    @pl.when(gate_ref[i, 0] > 0)  # jitter applied (p=0.8)
+    def _():
+        rgb = read()
+        for k in range(4):
+            rgb = slot(rgb, perm_ref[i, k], u_ref[i, k])
+        write(*rgb)
+
+    @pl.when(gate_ref[i, 1] > 0)  # grayscale (p=0.2)
+    def _():
+        r, g, b = read()
+        gray = 0.2989 * r + 0.587 * g + 0.114 * b
+        write(gray, gray, gray)
+
+    @pl.when(gate_ref[i, 2] > 0)  # blur selector (p=0.5)
+    def _():
+        ksize = 2 * radius + 1
+
+        def blur_plane(plane):
+            # preprocess_for_train ends with a clip BEFORE blur runs
+            # (bicubic crops overshoot [0,1]) — match that ordering.
+            plane = jnp.clip(plane, 0.0, 1.0)
+            pad_v = jnp.pad(plane, ((radius, radius), (0, 0)))
+            acc = jnp.zeros((h, w), jnp.float32)
+            for k in range(ksize):
+                acc = acc + tap_ref[i, k] * pad_v[k:k + h, :]
+            acc_t = jnp.pad(acc.T, ((radius, radius), (0, 0)))
+            acc2 = jnp.zeros((w, h), jnp.float32)
+            for k in range(ksize):
+                acc2 = acc2 + tap_ref[i, k] * acc_t[k:k + w, :]
+            return acc2.T
+
+        r, g, b = read()
+        write(blur_plane(r), blur_plane(g), blur_plane(b))
+
+    r, g, b = read()
+    write(jnp.clip(r, 0.0, 1.0), jnp.clip(g, 0.0, 1.0), jnp.clip(b, 0.0, 1.0))
+
+
+@functools.partial(jax.jit, static_argnames=(
+    "brightness", "contrast", "saturation", "hue", "v1_brightness",
+    "kernel_size", "interpret"))
+def fused_color_pipeline(images, perm, u, gates, sigmas, *,
+                         brightness: float, contrast: float,
+                         saturation: float, hue: float,
+                         v1_brightness: bool = False,
+                         kernel_size: int = 0, interpret: bool = False):
+    """Apply jitter+grayscale(+blur) to NHWC ``images`` with per-image draws.
+
+    perm (B,4) int32 op order; u (B,4) f32 shared uniforms; gates (B,3)
+    int32 [jitter, grayscale, blur]; sigmas (B,) f32 blur sigmas (ignored
+    when kernel_size == 0, which also disables the blur stage).
+    """
+    b, h, w, c = images.shape
+    assert c == 3, "fused color pipeline is RGB-only"
+    radius = int(kernel_size) // 2
+    if kernel_size:
+        taps = jnp.arange(-radius, radius + 1, dtype=jnp.float32)
+        kern = jnp.exp(-(taps[None, :] ** 2) /
+                       (2.0 * (sigmas.astype(jnp.float32)[:, None] ** 2)))
+        kern = kern / jnp.sum(kern, axis=1, keepdims=True)
+    else:
+        gates = gates.at[:, 2].set(0)
+        kern = jnp.zeros((b, 1), jnp.float32)
+
+    planar = jnp.transpose(images, (0, 3, 1, 2))  # NHWC -> NCHW
+    out = pl.pallas_call(
+        functools.partial(
+            _color_kernel, radius=radius, brightness=brightness,
+            contrast=contrast, saturation=saturation, hue=hue,
+            v1_brightness=v1_brightness),
+        out_shape=jax.ShapeDtypeStruct(planar.shape, images.dtype),
+        grid=(b,),
+        in_specs=[
+            pl.BlockSpec(memory_space=pltpu.SMEM),  # perm (B, 4)
+            pl.BlockSpec(memory_space=pltpu.SMEM),  # u (B, 4)
+            pl.BlockSpec(memory_space=pltpu.SMEM),  # gates (B, 3)
+            pl.BlockSpec(memory_space=pltpu.SMEM),  # taps (B, ksize)
+            pl.BlockSpec((1, c, h, w), lambda i: (i, 0, 0, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((1, c, h, w), lambda i: (i, 0, 0, 0),
+                               memory_space=pltpu.VMEM),
+        interpret=interpret,
+    )(perm.astype(jnp.int32), u.astype(jnp.float32),
+      gates.astype(jnp.int32), kern, planar)
+    return jnp.transpose(out, (0, 2, 3, 1))

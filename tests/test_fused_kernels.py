@@ -177,3 +177,24 @@ def test_pallas_blur_matches_xla_path():
     np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=2e-6)
     # Non-selected images pass through exactly (modulo the clip).
     np.testing.assert_array_equal(np.asarray(out[1]), np.asarray(jnp.clip(x[1], 0, 1)))
+
+
+def test_fused_color_pipeline_matches_xla_two_view():
+    """two_view_pretrain_batch: fused Pallas color path (interpreter) ==
+    XLA path — same key splits, same gating, f32 math (SURVEY N9)."""
+    rng = np.random.RandomState(0)
+    x = jnp.asarray(rng.randint(0, 256, (6, 64, 64, 3), dtype=np.uint8))
+    key = jax.random.PRNGKey(42)
+    a = augment.two_view_pretrain_batch(x, key, 56, 56, 1.0, True,
+                                        color_impl="xla")
+    b = augment.two_view_pretrain_batch(x, key, 56, 56, 1.0, True,
+                                        color_impl="pallas_interpret")
+    np.testing.assert_allclose(np.asarray(a, np.float32),
+                               np.asarray(b, np.float32), atol=1e-5)
+    # and with blur off / different strength
+    a = augment.two_view_pretrain_batch(x, key, 56, 56, 0.5, False,
+                                        color_impl="xla")
+    b = augment.two_view_pretrain_batch(x, key, 56, 56, 0.5, False,
+                                        color_impl="pallas_interpret")
+    np.testing.assert_allclose(np.asarray(a, np.float32),
+                               np.asarray(b, np.float32), atol=1e-5)
