@@ -584,13 +584,14 @@ def _jitter_draws(key, b):
     return jitter_gate, perm, u, gray_gate
 
 
-def _two_view_fused_color(images, keys_jitter, k_blur, height, width,
-                          strength, use_blur, impl, interpret=False):
-    """Jitter+grayscale+blur for both (already cropped+flipped) views in one
-    Pallas pass (ops/color_pipeline_pallas.py)."""
-    from simclr_tpu.ops.color_pipeline_pallas import fused_color_pipeline
+def _two_view_fused_color(canvas, crop_params, keys_jitter, k_blur, height,
+                          width, strength, use_blur, impl, interpret=False):
+    """Crop(+flip)+jitter+grayscale+blur for both views in one Pallas pass
+    (ops/color_pipeline_pallas.py): per-view bicubic sampling matrices are
+    built in-kernel from the box params, everything else stays in VMEM."""
+    from simclr_tpu.ops.color_pipeline_pallas import fused_crop_color_pipeline
 
-    b = images.shape[0] // 2
+    b = canvas.shape[0]
     draws = [_jitter_draws(k, b) for k in keys_jitter]
     jit_gate = jnp.concatenate([d[0] for d in draws])
     perm = jnp.concatenate([d[1] for d in draws])
@@ -611,8 +612,8 @@ def _two_view_fused_color(images, keys_jitter, k_blur, height, width,
         kernel_size = 0
     gates = jnp.stack([jit_gate, gray_gate, blur_gate], axis=1).astype(jnp.int32)
     s = strength
-    return fused_color_pipeline(
-        images, perm, u, gates, sigmas,
+    return fused_crop_color_pipeline(
+        canvas, crop_params, perm, u, gates, sigmas, out_hw=(height, width),
         brightness=0.8 * s, contrast=0.8 * s, saturation=0.8 * s, hue=0.2 * s,
         v1_brightness=(impl == "simclrv1"),
         kernel_size=kernel_size, interpret=interpret)
@@ -641,19 +642,40 @@ def two_view_pretrain_batch(
     if color_impl is None:
         color_impl = "pallas" if jax.default_backend() == "tpu" else "xla"
     if color_impl != "xla" and color_jitter_strength > 0:
-        views = []
-        keys_jitter = []
+        b = images.shape[0]
+        imgs = images.astype(dtype) if dtype is not None else images
+        aspect = width / height
+        if valid_hw is None:
+            vh = jnp.full((b,), imgs.shape[1], jnp.float32)
+            vw = jnp.full((b,), imgs.shape[2], jnp.float32)
+        else:
+            vh = valid_hw[:, 0].astype(jnp.float32)
+            vw = valid_hw[:, 1].astype(jnp.float32)
+        params, keys_jitter = [], []
         for k in (k1, k2):
+            # Same splits/draws as preprocess_for_train -> crop_and_resize,
+            # but the crop itself moves into the Pallas kernel: only its
+            # per-view scale/translation scalars are computed here.
             k_crop, k_flip, k_jitter = jax.random.split(k, 3)
-            imgs = images.astype(dtype) if dtype is not None else images
-            flips = jax.random.bernoulli(
-                k_flip, 0.5, (imgs.shape[0], 1, 1, 1)).reshape(-1)
-            views.append(random_crop_with_resize(
-                imgs, k_crop, height, width, valid_hw=valid_hw, flips=flips))
+            keys = jax.random.split(k_crop, b)
+            y0, x0, ch, cw = jax.vmap(
+                lambda kk, ih, iw: sample_distorted_box(
+                    kk, ih, iw,
+                    aspect_ratio_range=(3.0 / 4 * aspect, 4.0 / 3 * aspect),
+                    area_range=(0.08, 1.0), min_object_covered=0.1)
+            )(keys, vh, vw)
+            sy = jnp.float32(height) / ch
+            sx = jnp.float32(width) / cw
+            ty = -sy * y0
+            tx = -sx * x0
+            flips = jax.random.bernoulli(k_flip, 0.5, (b, 1, 1, 1)).reshape(-1)
+            tx = jnp.where(flips, width - tx, tx)
+            sx = jnp.where(flips, -sx, sx)
+            params.append(jnp.stack([sy, sx, ty, tx], axis=1))
             keys_jitter.append(k_jitter)
         return _two_view_fused_color(
-            jnp.concatenate(views, axis=0), keys_jitter, k_blur, height,
-            width, color_jitter_strength, use_blur, impl,
+            imgs, jnp.concatenate(params, axis=0), keys_jitter, k_blur,
+            height, width, color_jitter_strength, use_blur, impl,
             interpret=(color_impl == "pallas_interpret"))
     view_a = preprocess_for_train(images, k1, height, width, color_jitter_strength,
                                   impl=impl, dtype=dtype, valid_hw=valid_hw)

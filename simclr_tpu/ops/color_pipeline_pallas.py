@@ -67,16 +67,55 @@ def _hsv_merge(h6, s, v):
     return chan(5.0), chan(3.0), chan(1.0)
 
 
-def _color_kernel(perm_ref, u_ref, gate_ref, tap_ref, x_ref, out_ref, *,
-                  radius: int, brightness: float, contrast: float,
-                  saturation: float, hue: float, v1_brightness: bool):
+def _weight_mat_t(m: int, n: int, scale, translation):
+    """Transposed bicubic sampling matrix (n outputs x m inputs) — the exact
+    math of jax.image's compute_weight_mat (Keys cubic a=-0.5, per-output
+    normalization, out-of-range zeroing), evaluated on broadcasted iotas so
+    it builds on the VPU from two scalars.  Negative ``scale`` mirrors the
+    sampling (the folded horizontal flip)."""
+    inv = 1.0 / scale
+    o = jax.lax.broadcasted_iota(jnp.int32, (n, m), 0).astype(jnp.float32)
+    idx = jax.lax.broadcasted_iota(jnp.int32, (n, m), 1).astype(jnp.float32)
+    sample = (o + 0.5) * inv - translation * inv - 0.5
+    xk = jnp.abs(sample - idx)
+    wgt = ((1.5 * xk - 2.5) * xk) * xk + 1.0
+    wgt = jnp.where(xk >= 1.0, ((-0.5 * xk + 2.5) * xk - 4.0) * xk + 2.0, wgt)
+    wgt = jnp.where(xk >= 2.0, 0.0, wgt)
+    tot = jnp.sum(wgt, axis=1, keepdims=True)
+    wgt = jnp.where(jnp.abs(tot) > 1000.0 * 1.1920929e-07,
+                    wgt / jnp.where(tot != 0.0, tot, 1.0), 0.0)
+    valid = (sample >= -0.5) & (sample <= m - 0.5)
+    return jnp.where(valid, wgt, 0.0)
+
+
+def _color_kernel(perm_ref, u_ref, gate_ref, tap_ref, crop_ref, x_ref,
+                  out_ref, *, radius: int, brightness: float, contrast: float,
+                  saturation: float, hue: float, v1_brightness: bool,
+                  do_crop: bool):
     i = pl.program_id(0)
-    h, w = x_ref.shape[2], x_ref.shape[3]
+    h, w = out_ref.shape[2], out_ref.shape[3]
     # out_ref doubles as the working buffer between stages (writing to input
     # refs is not guaranteed to stick).
-    out_ref[0, 0] = x_ref[0, 0]
-    out_ref[0, 1] = x_ref[0, 1]
-    out_ref[0, 2] = x_ref[0, 2]
+    if do_crop:
+        # Distorted-bbox crop + bicubic resize as two MXU matmuls per plane,
+        # with per-image sampling matrices built in-VMEM from the box
+        # scale/translation scalars (flip pre-folded into sx/tx).
+        hin, win = x_ref.shape[2], x_ref.shape[3]
+        cdt = x_ref.dtype
+        wv = _weight_mat_t(hin, h, crop_ref[i, 0], crop_ref[i, 2]).astype(cdt)
+        wh = _weight_mat_t(win, w, crop_ref[i, 1], crop_ref[i, 3]).astype(cdt)
+        for p_ in range(3):
+            tmp = jax.lax.dot_general(
+                wv, x_ref[0, p_], (((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32)  # (h, win)
+            res = jax.lax.dot_general(
+                tmp.astype(cdt), wh, (((1,), (1,)), ((), ())),
+                preferred_element_type=jnp.float32)  # (h, w)
+            out_ref[0, p_] = res.astype(out_ref.dtype)
+    else:
+        out_ref[0, 0] = x_ref[0, 0]
+        out_ref[0, 1] = x_ref[0, 1]
+        out_ref[0, 2] = x_ref[0, 2]
 
     def read():
         return (out_ref[0, 0].astype(jnp.float32),
@@ -194,24 +233,78 @@ def fused_color_pipeline(images, perm, u, gates, sigmas, *,
         kern = jnp.zeros((b, 1), jnp.float32)
 
     planar = jnp.transpose(images, (0, 3, 1, 2))  # NHWC -> NCHW
-    out = pl.pallas_call(
+    crop = jnp.zeros((b, 4), jnp.float32)
+    out = _call_kernel(planar, crop, perm, u, gates, kern, (h, w), b,
+                       radius=radius, brightness=brightness,
+                       contrast=contrast, saturation=saturation, hue=hue,
+                       v1_brightness=v1_brightness, do_crop=False,
+                       interpret=interpret)
+    return jnp.transpose(out, (0, 2, 3, 1))
+
+
+def _call_kernel(planar, crop, perm, u, gates, kern, out_hw, n_views, *,
+                 radius, brightness, contrast, saturation, hue,
+                 v1_brightness, do_crop, interpret):
+    b, c = planar.shape[0], planar.shape[1]
+    h, w = out_hw
+    hin, win = planar.shape[2], planar.shape[3]
+    return pl.pallas_call(
         functools.partial(
             _color_kernel, radius=radius, brightness=brightness,
             contrast=contrast, saturation=saturation, hue=hue,
-            v1_brightness=v1_brightness),
-        out_shape=jax.ShapeDtypeStruct(planar.shape, images.dtype),
-        grid=(b,),
+            v1_brightness=v1_brightness, do_crop=do_crop),
+        out_shape=jax.ShapeDtypeStruct((n_views, c, h, w), planar.dtype),
+        grid=(n_views,),
         in_specs=[
-            pl.BlockSpec(memory_space=pltpu.SMEM),  # perm (B, 4)
-            pl.BlockSpec(memory_space=pltpu.SMEM),  # u (B, 4)
-            pl.BlockSpec(memory_space=pltpu.SMEM),  # gates (B, 3)
-            pl.BlockSpec(memory_space=pltpu.SMEM),  # taps (B, ksize)
-            pl.BlockSpec((1, c, h, w), lambda i: (i, 0, 0, 0),
+            pl.BlockSpec(memory_space=pltpu.SMEM),  # perm (V, 4)
+            pl.BlockSpec(memory_space=pltpu.SMEM),  # u (V, 4)
+            pl.BlockSpec(memory_space=pltpu.SMEM),  # gates (V, 3)
+            pl.BlockSpec(memory_space=pltpu.SMEM),  # taps (V, ksize)
+            pl.BlockSpec(memory_space=pltpu.SMEM),  # crop (V, 4)
+            pl.BlockSpec((1, c, hin, win), lambda i: (i % b, 0, 0, 0),
                          memory_space=pltpu.VMEM),
         ],
         out_specs=pl.BlockSpec((1, c, h, w), lambda i: (i, 0, 0, 0),
                                memory_space=pltpu.VMEM),
         interpret=interpret,
     )(perm.astype(jnp.int32), u.astype(jnp.float32),
-      gates.astype(jnp.int32), kern, planar)
+      gates.astype(jnp.int32), kern, crop.astype(jnp.float32), planar)
+
+
+@functools.partial(jax.jit, static_argnames=(
+    "out_hw", "brightness", "contrast", "saturation", "hue", "v1_brightness",
+    "kernel_size", "interpret"))
+def fused_crop_color_pipeline(canvas, crop_params, perm, u, gates, sigmas, *,
+                              out_hw, brightness: float, contrast: float,
+                              saturation: float, hue: float,
+                              v1_brightness: bool = False,
+                              kernel_size: int = 0, interpret: bool = False):
+    """The ENTIRE two-view augmentation after box/flip sampling: bicubic
+    distorted crop (+folded flip) + jitter + grayscale + blur, one Pallas
+    program per view.  ``canvas`` is the NHWC host canvas (B, Hin, Win, 3);
+    each of the V = crop_params.shape[0] views reads canvas image
+    ``view % B`` (views stacked a-then-b like two_view_pretrain_batch).
+
+    crop_params (V, 4) f32 = [sy, sx, ty, tx] scale/translation per view
+    (sx negative for folded flips); remaining tables as fused_color_pipeline.
+    """
+    b, hin, win, c = canvas.shape
+    assert c == 3, "fused color pipeline is RGB-only"
+    h, w = out_hw
+    v = crop_params.shape[0]
+    radius = int(kernel_size) // 2
+    if kernel_size:
+        taps = jnp.arange(-radius, radius + 1, dtype=jnp.float32)
+        kern = jnp.exp(-(taps[None, :] ** 2) /
+                       (2.0 * (sigmas.astype(jnp.float32)[:, None] ** 2)))
+        kern = kern / jnp.sum(kern, axis=1, keepdims=True)
+    else:
+        gates = gates.at[:, 2].set(0)
+        kern = jnp.zeros((v, 1), jnp.float32)
+    planar = jnp.transpose(canvas, (0, 3, 1, 2))
+    out = _call_kernel(planar, crop_params, perm, u, gates, kern, (h, w), v,
+                       radius=radius, brightness=brightness,
+                       contrast=contrast, saturation=saturation, hue=hue,
+                       v1_brightness=v1_brightness, do_crop=True,
+                       interpret=interpret)
     return jnp.transpose(out, (0, 2, 3, 1))
