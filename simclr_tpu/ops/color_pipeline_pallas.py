@@ -88,11 +88,16 @@ def _weight_mat_t(m: int, n: int, scale, translation):
     return jnp.where(valid, wgt, 0.0)
 
 
-def _color_kernel(perm_ref, u_ref, gate_ref, tap_ref, crop_ref, x_ref,
-                  out_ref, *, radius: int, brightness: float, contrast: float,
-                  saturation: float, hue: float, v1_brightness: bool,
-                  do_crop: bool):
-    i = pl.program_id(0)
+# Per-view scalar-table layout (one packed f32 row per view, fetched into
+# VMEM per program — whole-array SMEM tables cost ~128 B/scalar and blow the
+# 1 MB SMEM budget beyond ~250 views).
+_PERM0, _U0, _GATE0, _CROP0, _TAP0 = 0, 4, 8, 11, 15
+
+
+def _color_kernel(tab_ref, x_ref, out_ref, *, radius: int, brightness: float,
+                  contrast: float, saturation: float, hue: float,
+                  v1_brightness: bool, do_crop: bool):
+    tab = tab_ref[0]  # (1, T) f32 — this view's packed scalars
     h, w = out_ref.shape[2], out_ref.shape[3]
     # out_ref doubles as the working buffer between stages (writing to input
     # refs is not guaranteed to stick).
@@ -102,8 +107,8 @@ def _color_kernel(perm_ref, u_ref, gate_ref, tap_ref, crop_ref, x_ref,
         # scale/translation scalars (flip pre-folded into sx/tx).
         hin, win = x_ref.shape[2], x_ref.shape[3]
         cdt = x_ref.dtype
-        wv = _weight_mat_t(hin, h, crop_ref[i, 0], crop_ref[i, 2]).astype(cdt)
-        wh = _weight_mat_t(win, w, crop_ref[i, 1], crop_ref[i, 3]).astype(cdt)
+        wv = _weight_mat_t(hin, h, tab[0, _CROP0 + 0], tab[0, _CROP0 + 2]).astype(cdt)
+        wh = _weight_mat_t(win, w, tab[0, _CROP0 + 1], tab[0, _CROP0 + 3]).astype(cdt)
         for p_ in range(3):
             tmp = jax.lax.dot_general(
                 wv, x_ref[0, p_], (((1,), (0,)), ((), ())),
@@ -168,20 +173,21 @@ def _color_kernel(perm_ref, u_ref, gate_ref, tap_ref, crop_ref, x_ref,
         ], rgb)
         return each(lambda x: jnp.clip(x, 0.0, 1.0), out)
 
-    @pl.when(gate_ref[i, 0] > 0)  # jitter applied (p=0.8)
+    @pl.when(tab[0, _GATE0] > 0)  # jitter applied (p=0.8)
     def _():
         rgb = read()
         for k in range(4):
-            rgb = slot(rgb, perm_ref[i, k], u_ref[i, k])
+            rgb = slot(rgb, tab[0, _PERM0 + k].astype(jnp.int32),
+                       tab[0, _U0 + k])
         write(*rgb)
 
-    @pl.when(gate_ref[i, 1] > 0)  # grayscale (p=0.2)
+    @pl.when(tab[0, _GATE0 + 1] > 0)  # grayscale (p=0.2)
     def _():
         r, g, b = read()
         gray = 0.2989 * r + 0.587 * g + 0.114 * b
         write(gray, gray, gray)
 
-    @pl.when(gate_ref[i, 2] > 0)  # blur selector (p=0.5)
+    @pl.when(tab[0, _GATE0 + 2] > 0)  # blur selector (p=0.5)
     def _():
         ksize = 2 * radius + 1
 
@@ -192,11 +198,11 @@ def _color_kernel(perm_ref, u_ref, gate_ref, tap_ref, crop_ref, x_ref,
             pad_v = jnp.pad(plane, ((radius, radius), (0, 0)))
             acc = jnp.zeros((h, w), jnp.float32)
             for k in range(ksize):
-                acc = acc + tap_ref[i, k] * pad_v[k:k + h, :]
+                acc = acc + tab[0, _TAP0 + k] * pad_v[k:k + h, :]
             acc_t = jnp.pad(acc.T, ((radius, radius), (0, 0)))
             acc2 = jnp.zeros((w, h), jnp.float32)
             for k in range(ksize):
-                acc2 = acc2 + tap_ref[i, k] * acc_t[k:k + w, :]
+                acc2 = acc2 + tab[0, _TAP0 + k] * acc_t[k:k + w, :]
             return acc2.T
 
         r, g, b = read()
@@ -248,6 +254,15 @@ def _call_kernel(planar, crop, perm, u, gates, kern, out_hw, n_views, *,
     b, c = planar.shape[0], planar.shape[1]
     h, w = out_hw
     hin, win = planar.shape[2], planar.shape[3]
+    # Packed per-view scalar table: [perm(4) | u(4) | gates(3) | crop(4) |
+    # taps(ksize)] as one f32 row per view, shaped (V, 1, T) so each program
+    # fetches only its own row into VMEM.
+    tab = jnp.concatenate([
+        perm.astype(jnp.float32), u.astype(jnp.float32),
+        gates.astype(jnp.float32), crop.astype(jnp.float32),
+        kern.astype(jnp.float32),
+    ], axis=1)[:, None, :]
+    t = tab.shape[-1]
     return pl.pallas_call(
         functools.partial(
             _color_kernel, radius=radius, brightness=brightness,
@@ -256,19 +271,15 @@ def _call_kernel(planar, crop, perm, u, gates, kern, out_hw, n_views, *,
         out_shape=jax.ShapeDtypeStruct((n_views, c, h, w), planar.dtype),
         grid=(n_views,),
         in_specs=[
-            pl.BlockSpec(memory_space=pltpu.SMEM),  # perm (V, 4)
-            pl.BlockSpec(memory_space=pltpu.SMEM),  # u (V, 4)
-            pl.BlockSpec(memory_space=pltpu.SMEM),  # gates (V, 3)
-            pl.BlockSpec(memory_space=pltpu.SMEM),  # taps (V, ksize)
-            pl.BlockSpec(memory_space=pltpu.SMEM),  # crop (V, 4)
+            pl.BlockSpec((1, 1, t), lambda i: (i, 0, 0),
+                         memory_space=pltpu.VMEM),
             pl.BlockSpec((1, c, hin, win), lambda i: (i % b, 0, 0, 0),
                          memory_space=pltpu.VMEM),
         ],
         out_specs=pl.BlockSpec((1, c, h, w), lambda i: (i, 0, 0, 0),
                                memory_space=pltpu.VMEM),
         interpret=interpret,
-    )(perm.astype(jnp.int32), u.astype(jnp.float32),
-      gates.astype(jnp.int32), kern, crop.astype(jnp.float32), planar)
+    )(tab, planar)
 
 
 @functools.partial(jax.jit, static_argnames=(
