@@ -159,21 +159,27 @@ class TestBatchedColorJitter:
 # --- Pallas fused separable blur (SURVEY N8) ---------------------------------
 
 def test_pallas_blur_matches_xla_path():
-    """fused_blur_apply == clip(where(sel, gaussian_blur, x)) (interpreter on
-    CPU; the TPU path is the same kernel compiled by Mosaic)."""
-    from simclr_tpu.ops.blur_pallas import fused_blur_apply
+    """Blur-only invocation of the fused color kernel == clip(where(sel,
+    gaussian_blur, x)) (interpreter on CPU; the TPU path is the same kernel
+    compiled by Mosaic — batch_random_blur dispatches to it)."""
+    from simclr_tpu.ops.color_pipeline_pallas import fused_color_pipeline
 
     rng = np.random.RandomState(0)
     b, h, w, c = 4, 64, 64, 3
     x = jnp.asarray(rng.rand(b, h, w, c), jnp.float32)
     sigmas = jnp.asarray(rng.uniform(0.1, 2.0, (b,)), jnp.float32)
-    sel = jnp.asarray(np.array([True, False, True, False]))
+    sel = np.array([True, False, True, False])
     ks = h // 10
 
     ref = jnp.clip(
-        jnp.where(sel[:, None, None, None],
+        jnp.where(jnp.asarray(sel)[:, None, None, None],
                   augment.gaussian_blur(x, sigmas, ks), x), 0.0, 1.0)
-    out = fused_blur_apply(x, sigmas, sel, ks, interpret=True)
+    gates = jnp.stack([jnp.zeros(b, jnp.int32), jnp.zeros(b, jnp.int32),
+                       jnp.asarray(sel, jnp.int32)], axis=1)
+    out = fused_color_pipeline(
+        x, jnp.zeros((b, 4), jnp.int32), jnp.zeros((b, 4), jnp.float32),
+        gates, sigmas, brightness=0.0, contrast=0.0, saturation=0.0, hue=0.0,
+        kernel_size=ks, interpret=True)
     np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=2e-6)
     # Non-selected images pass through exactly (modulo the clip).
     np.testing.assert_array_equal(np.asarray(out[1]), np.asarray(jnp.clip(x[1], 0, 1)))
