@@ -51,6 +51,10 @@ def main():
         np.abs(np.asarray(jax.device_get(x), np.float64)).sum()
         for x in jax.tree.leaves(state.params)))
     print(f"CHECKSUM {checksum:.8f}", flush=True)
+    # Multi-process eval: per-process contiguous batch slices + global-row
+    # padding masks must reproduce the single-process metrics exactly.
+    result = trainer.evaluate(config, state=state)
+    print(f"EVALTOP1 {result['eval/label_top_1_accuracy']:.8f}", flush=True)
 
 
 if __name__ == "__main__":

@@ -51,6 +51,8 @@ def test_two_process_training_matches_single_process(tmp_path):
 
     sums = [float(re.search(r"CHECKSUM ([0-9.]+)", o).group(1)) for o in outs]
     assert sums[0] == sums[1]  # replicated state identical across processes
+    evals = [float(re.search(r"EVALTOP1 ([0-9.]+)", o).group(1)) for o in outs]
+    assert evals[0] == evals[1]
 
     # Single-process 8-device reference run (conftest.py already forced the
     # 8-device virtual CPU platform in this process).
@@ -72,3 +74,9 @@ def test_two_process_training_matches_single_process(tmp_path):
     # Same global batches, same model — only collective reduction order
     # differs (gloo tree vs single-process), so agreement is near-exact.
     np.testing.assert_allclose(sums[0], single, rtol=1e-4)
+    # Eval: same global batch slices + global-row masks => same metric up
+    # to a few argmax flips (training differs by gloo reduction rounding,
+    # so borderline predictions can flip — observed quantum 1/num_eval).
+    single_eval = trainer.evaluate(config, state=state)
+    np.testing.assert_allclose(
+        evals[0], single_eval["eval/label_top_1_accuracy"], atol=5e-3)
