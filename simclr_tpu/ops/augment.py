@@ -519,10 +519,39 @@ def random_color_jitter(images, key, p=1.0, strength=1.0, impl="simclrv2"):
     return batched_random_apply(_transform, p, images, key)
 
 
+def crop_params(images, k_crop, height, width, valid_hw=None, flips=None):
+    """Per-image distorted-box crop scale/translation [sy, sx, ty, tx] for
+    the fused Pallas crop — the same box sampling and key splits as
+    crop_and_resize, with flips folded into sx/tx (negative x-scale)."""
+    b = images.shape[0]
+    aspect = width / height
+    if valid_hw is None:
+        vh = jnp.full((b,), images.shape[1], jnp.float32)
+        vw = jnp.full((b,), images.shape[2], jnp.float32)
+    else:
+        vh = valid_hw[:, 0].astype(jnp.float32)
+        vw = valid_hw[:, 1].astype(jnp.float32)
+    keys = jax.random.split(k_crop, b)
+    y0, x0, ch, cw = jax.vmap(
+        lambda kk, ih, iw: sample_distorted_box(
+            kk, ih, iw,
+            aspect_ratio_range=(3.0 / 4 * aspect, 4.0 / 3 * aspect),
+            area_range=(0.08, 1.0), min_object_covered=0.1)
+    )(keys, vh, vw)
+    sy = jnp.float32(height) / ch
+    sx = jnp.float32(width) / cw
+    ty = -sy * y0
+    tx = -sx * x0
+    if flips is not None:
+        tx = jnp.where(flips, width - tx, tx)
+        sx = jnp.where(flips, -sx, sx)
+    return jnp.stack([sy, sx, ty, tx], axis=1)
+
+
 def preprocess_for_train(
     images, key, height, width,
     color_jitter_strength=0.0, crop=True, flip=True, impl="simclrv2",
-    dtype=None, valid_hw=None,
+    dtype=None, valid_hw=None, color_impl=None,
 ):
     """Batched train-time preprocessing (tf2/data_util.py:444-479).
 
@@ -530,18 +559,44 @@ def preprocess_for_train(
     the HBM traffic of every pass and puts the crop's bicubic gather-matmuls
     on the MXU at 2x rate; bf16's ~0.4% relative rounding is far below the
     augmentation noise this pipeline exists to create — the f32 path remains
-    for dtype=None, and eval preprocessing is always f32)."""
+    for dtype=None, and eval preprocessing is always f32).
+
+    On TPU the crop(+folded flip) runs as a crop-only invocation of the
+    fused Pallas kernel (color_impl None=auto / "xla" / "pallas" /
+    "pallas_interpret") — the finetune train path's analogue of the fused
+    two-view pretrain pipeline."""
     k_crop, k_flip, k_jitter = jax.random.split(key, 3)
     if dtype is not None:
         images = images.astype(dtype)
+    if color_impl is None:
+        color_impl = "pallas" if jax.default_backend() == "tpu" else "xla"
     if crop and flip:
         # Flip folded into the crop's sampling weights — same decisions as
         # random_flip_left_right(k_flip) (identical bernoulli draw), zero
         # extra passes over the batch.
         flips = jax.random.bernoulli(
             k_flip, 0.5, (images.shape[0], 1, 1, 1)).reshape(-1)
-        images = random_crop_with_resize(images, k_crop, height, width,
-                                         valid_hw=valid_hw, flips=flips)
+        # Fused crop only when no jitter follows: the kernel clips its
+        # output, but the XLA jitter chain must see the unclipped crop
+        # (bicubic overshoot) to stay bit-comparable.  The jittered
+        # (pretrain) case is handled whole by two_view_pretrain_batch.
+        if color_impl != "xla" and color_jitter_strength == 0:
+            from simclr_tpu.ops.color_pipeline_pallas import (
+                fused_crop_color_pipeline)
+
+            b = images.shape[0]
+            params = crop_params(images, k_crop, height, width,
+                                 valid_hw=valid_hw, flips=flips)
+            zeros_i = jnp.zeros((b, 4), jnp.int32)
+            images = fused_crop_color_pipeline(
+                images, params, zeros_i, jnp.zeros((b, 4), jnp.float32),
+                jnp.zeros((b, 3), jnp.int32), jnp.zeros((b,), jnp.float32),
+                out_hw=(height, width), brightness=0.0, contrast=0.0,
+                saturation=0.0, hue=0.0, kernel_size=0,
+                interpret=(color_impl == "pallas_interpret"))
+        else:
+            images = random_crop_with_resize(images, k_crop, height, width,
+                                             valid_hw=valid_hw, flips=flips)
     elif crop:
         images = random_crop_with_resize(images, k_crop, height, width,
                                          valid_hw=valid_hw)
@@ -651,34 +706,15 @@ def two_view_pretrain_batch(
     if color_impl != "xla" and color_jitter_strength > 0:
         b = images.shape[0]
         imgs = images.astype(dtype) if dtype is not None else images
-        aspect = width / height
-        if valid_hw is None:
-            vh = jnp.full((b,), imgs.shape[1], jnp.float32)
-            vw = jnp.full((b,), imgs.shape[2], jnp.float32)
-        else:
-            vh = valid_hw[:, 0].astype(jnp.float32)
-            vw = valid_hw[:, 1].astype(jnp.float32)
         params, keys_jitter = [], []
         for k in (k1, k2):
             # Same splits/draws as preprocess_for_train -> crop_and_resize,
             # but the crop itself moves into the Pallas kernel: only its
             # per-view scale/translation scalars are computed here.
             k_crop, k_flip, k_jitter = jax.random.split(k, 3)
-            keys = jax.random.split(k_crop, b)
-            y0, x0, ch, cw = jax.vmap(
-                lambda kk, ih, iw: sample_distorted_box(
-                    kk, ih, iw,
-                    aspect_ratio_range=(3.0 / 4 * aspect, 4.0 / 3 * aspect),
-                    area_range=(0.08, 1.0), min_object_covered=0.1)
-            )(keys, vh, vw)
-            sy = jnp.float32(height) / ch
-            sx = jnp.float32(width) / cw
-            ty = -sy * y0
-            tx = -sx * x0
             flips = jax.random.bernoulli(k_flip, 0.5, (b, 1, 1, 1)).reshape(-1)
-            tx = jnp.where(flips, width - tx, tx)
-            sx = jnp.where(flips, -sx, sx)
-            params.append(jnp.stack([sy, sx, ty, tx], axis=1))
+            params.append(crop_params(imgs, k_crop, height, width,
+                                      valid_hw=valid_hw, flips=flips))
             keys_jitter.append(k_jitter)
         return _two_view_fused_color(
             imgs, jnp.concatenate(params, axis=0), keys_jitter, k_blur,

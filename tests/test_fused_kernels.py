@@ -222,3 +222,16 @@ def test_fused_crop_color_pipeline_valid_hw():
                                         color_impl="pallas_interpret")
     np.testing.assert_allclose(np.asarray(a, np.float32),
                                np.asarray(b, np.float32), atol=1e-4)
+
+
+def test_fused_crop_finetune_path():
+    """preprocess_for_train (finetune: crop+flip, no jitter) via the fused
+    crop kernel == the XLA path (same draws, ~f32-rounding diffs)."""
+    rng = np.random.RandomState(2)
+    x = jnp.asarray(rng.randint(0, 256, (5, 64, 64, 3), dtype=np.uint8)
+                    ).astype(jnp.float32) / 255.0
+    key = jax.random.PRNGKey(11)
+    a = augment.preprocess_for_train(x, key, 56, 56, 0.0, color_impl="xla")
+    b = augment.preprocess_for_train(x, key, 56, 56, 0.0,
+                                     color_impl="pallas_interpret")
+    np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-4)
