@@ -41,6 +41,18 @@ def topk_accuracy_sums(logits, labels_idx, mask, ks=(1, 5)):
     return out
 
 
+def _resolve_fused(config: Config) -> bool:
+    """Tri-state --use_fused_ntxent -> bool.  The trainer passes a resolved
+    bool; direct step-builder callers (bench, tests, __graft_entry__) may
+    pass 'auto', which must NOT be treated as truthy."""
+    v = config.use_fused_ntxent
+    if isinstance(v, bool):
+        return v
+    from simclr_tpu.config import resolve_use_fused_ntxent
+
+    return resolve_use_fused_ntxent(config, jax.device_count())
+
+
 def make_train_step(config: Config, model, tx: optax.GradientTransformation,
                     lr_fn: Callable) -> Callable:
     """Build the jittable train step: (state, batch, base_rng) -> (state, metrics).
@@ -49,6 +61,7 @@ def make_train_step(config: Config, model, tx: optax.GradientTransformation,
     """
     pretrain = config.train_mode == "pretrain"
     h = w = config.image_size
+    use_fused_ntxent = _resolve_fused(config)
 
     def train_step(state: TrainState, batch: Dict[str, jnp.ndarray], base_rng):
         rng = jax.random.fold_in(base_rng, state.step)
@@ -86,7 +99,7 @@ def make_train_step(config: Config, model, tx: optax.GradientTransformation,
             metrics = {}
             loss = jnp.zeros([], jnp.float32)
             if pretrain:
-                if config.use_fused_ntxent:
+                if use_fused_ntxent:
                     from simclr_tpu.ops.ntxent_pallas import ntxent_fused_metrics
 
                     con_loss, con_acc, con_ent = ntxent_fused_metrics(
@@ -153,6 +166,7 @@ def make_shard_map_train_step(config: Config, model, tx: optax.GradientTransform
 
     pretrain = config.train_mode == "pretrain"
     h = w = config.image_size
+    use_fused_ntxent = _resolve_fused(config)
 
     def local_step(state: TrainState, batch, base_rng):
         replica = jax.lax.axis_index("data")
@@ -183,7 +197,7 @@ def make_shard_map_train_step(config: Config, model, tx: optax.GradientTransform
             metrics = {}
             loss = jnp.zeros([], jnp.float32)
             if pretrain:
-                if config.use_fused_ntxent:
+                if use_fused_ntxent:
                     # Fused streaming kernel over the local (rows x global)
                     # tile: all_gather inside, column-grad psum in the VJP
                     # (SURVEY.md N1 fused all-gather NT-Xent).

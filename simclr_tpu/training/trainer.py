@@ -20,7 +20,8 @@ import jax.numpy as jnp
 import numpy as np
 from jax.sharding import NamedSharding, PartitionSpec as P
 
-from simclr_tpu.config import Config, get_checkpoint_steps, get_train_steps
+from simclr_tpu.config import (Config, get_checkpoint_steps, get_train_steps,
+                               resolve_use_fused_ntxent)
 from simclr_tpu.data.loader import Prefetcher, build_dataset
 from simclr_tpu.models.model import SimCLRModel
 from simclr_tpu.optim.builder import build_optimizer, masked, trainable_mask
@@ -110,7 +111,8 @@ def train(config: Config) -> TrainState:
             "--use_shard_map with --dcn_data_parallelism>1 is not supported; "
             "the GSPMD path handles hybrid ICI+DCN meshes (hierarchical "
             "collectives come out of the partitioner)")
-    if config.use_fused_ntxent and not config.use_shard_map and mesh.size > 1:
+    fused_ntxent = resolve_use_fused_ntxent(config, mesh.size)
+    if fused_ntxent and not config.use_shard_map and mesh.size > 1:
         raise ValueError(
             "--use_fused_ntxent on multiple devices requires "
             "--use_shard_map=true: the GSPMD partitioner cannot shard the "
@@ -126,12 +128,15 @@ def train(config: Config) -> TrainState:
 
     mask = trainable_mask(config, state.params)
     masked_tx = masked(tx, mask)
+    # Steps are built against the resolved bool; config (and flags.json)
+    # keeps the user's 'auto'.
+    step_config = config.replace(use_fused_ntxent=fused_ntxent)
     if config.use_shard_map:
         from simclr_tpu.training.steps import make_shard_map_train_step
 
-        train_step = make_shard_map_train_step(config, model, masked_tx, lr_fn, mesh)
+        train_step = make_shard_map_train_step(step_config, model, masked_tx, lr_fn, mesh)
     else:
-        train_step = make_train_step(config, model, masked_tx, lr_fn)
+        train_step = make_train_step(step_config, model, masked_tx, lr_fn)
     step_fn = jax.jit(train_step, donate_argnums=(0,))
 
     total_steps = get_train_steps(config, info.num_train_examples)

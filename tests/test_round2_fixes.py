@@ -240,3 +240,25 @@ def test_steps_per_loop_memory_budget():
 
     # Never exceeds total steps / requested spl.
     assert choose_steps_per_loop(small, 3, 1000, 100) == 3
+
+
+def test_resolve_use_fused_ntxent_auto():
+    """'auto' enables the fused NT-Xent exactly where it measured faster
+    (global 2N >= 8192) and where it is partitionable; explicit strings and
+    bools pass through (VERDICT r1 #5 follow-up)."""
+    from simclr_tpu.config import Config, resolve_use_fused_ntxent
+
+    big = Config(train_batch_size=4096)          # 2N = 8192
+    small = Config(train_batch_size=2048)        # 2N = 4096 (breakeven below)
+    assert resolve_use_fused_ntxent(big, 1) is True
+    assert resolve_use_fused_ntxent(small, 1) is False
+    # multi-device GSPMD cannot partition the kernel -> auto backs off
+    assert resolve_use_fused_ntxent(big, 8) is False
+    assert resolve_use_fused_ntxent(big.replace(use_shard_map=True), 8) is True
+    # explicit values win
+    assert resolve_use_fused_ntxent(
+        small.replace(use_fused_ntxent="true"), 1) is True
+    assert resolve_use_fused_ntxent(
+        big.replace(use_fused_ntxent="false"), 1) is False
+    assert resolve_use_fused_ntxent(
+        big.replace(use_fused_ntxent=True), 8) is True
