@@ -1,0 +1,62 @@
+"""Smoke tests for the colab-analogue example scripts (reference L7:
+colabs/ + tf2/colabs/) — they must keep working against the current APIs.
+
+Each runs as a real subprocess on a tiny exported bundle / tiny config so
+API drift in export/load_serving/augment surfaces breaks loudly here.
+"""
+
+import os
+import subprocess
+import sys
+
+import numpy as np
+import pytest
+import jax
+import jax.numpy as jnp
+
+from simclr_tpu.config import Config
+
+_REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+
+
+@pytest.fixture(scope="module")
+def tiny_bundle(tmp_path_factory):
+    from simclr_tpu.export import export_serving
+    from simclr_tpu.models.model import SimCLRModel
+    from simclr_tpu.training.state import TrainState
+
+    tmp = tmp_path_factory.mktemp("bundle")
+    config = Config(resnet_depth=18, image_size=32, model_dir=str(tmp),
+                    compute_dtype="float32")
+    model = SimCLRModel.from_config(config, num_classes=10)
+    variables = model.init(jax.random.PRNGKey(0),
+                           jnp.zeros((2, 32, 32, 3)), train=False)
+    state = TrainState(step=jnp.asarray(1, jnp.int32),
+                       params=variables["params"],
+                       batch_stats=variables["batch_stats"], opt_state=())
+    return export_serving(config, state, num_classes=10)
+
+
+def _run(script, *args, timeout=600):
+    env = dict(os.environ, PYTHONPATH=_REPO)
+    return subprocess.run(
+        [sys.executable, os.path.join(_REPO, "examples", script), *args],
+        capture_output=True, text=True, timeout=timeout, env=env, cwd=_REPO)
+
+
+@pytest.mark.slow
+def test_load_and_inference_example(tiny_bundle, tmp_path):
+    npz = str(tmp_path / "imgs.npz")
+    np.savez(npz, images=np.random.RandomState(0).randint(
+        0, 256, (3, 48, 48, 3), dtype=np.uint8))
+    r = _run("load_and_inference.py", "--model", tiny_bundle,
+             "--images", npz, "--image_size", "32")
+    assert r.returncode == 0, r.stdout + r.stderr
+    assert "features: (3, 512)" in r.stdout, r.stdout
+
+
+@pytest.mark.slow
+def test_finetuning_example(tiny_bundle):
+    r = _run("finetuning.py", "--model", tiny_bundle, "--dataset", "synthetic",
+             "--steps", "3", "--batch_size", "8", "--image_size", "32")
+    assert r.returncode == 0, r.stdout + r.stderr
