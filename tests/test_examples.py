@@ -60,3 +60,17 @@ def test_finetuning_example(tiny_bundle):
     r = _run("finetuning.py", "--model", tiny_bundle, "--dataset", "synthetic",
              "--steps", "3", "--batch_size", "8", "--image_size", "32")
     assert r.returncode == 0, r.stdout + r.stderr
+
+
+@pytest.mark.slow
+def test_distill_example(tiny_bundle):
+    r = _run("distill.py", "--teacher", tiny_bundle, "--dataset", "synthetic",
+             "--steps", "3", "--batch_size", "8", "--image_size", "32")
+    assert r.returncode == 0, r.stdout + r.stderr
+
+
+@pytest.mark.slow
+def test_randbits_example():
+    r = _run("randbits_experiment.py", "--extra_channel_bits", "2",
+             "--steps", "3", "--batch_size", "16")
+    assert r.returncode == 0, r.stdout + r.stderr
