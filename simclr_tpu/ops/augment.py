@@ -647,7 +647,8 @@ def _jitter_draws(key, b):
 
 
 def _two_view_fused_color(canvas, crop_params, keys_jitter, k_blur, height,
-                          width, strength, use_blur, impl, interpret=False):
+                          width, strength, use_blur, impl,
+                          out_dtype=None, interpret=False):
     """Crop(+flip)+jitter+grayscale+blur for both views in one Pallas pass
     (ops/color_pipeline_pallas.py): per-view bicubic sampling matrices are
     built in-kernel from the box params, everything else stays in VMEM."""
@@ -677,7 +678,7 @@ def _two_view_fused_color(canvas, crop_params, keys_jitter, k_blur, height,
     return fused_crop_color_pipeline(
         canvas, crop_params, perm, u, gates, sigmas, out_hw=(height, width),
         brightness=0.8 * s, contrast=0.8 * s, saturation=0.8 * s, hue=0.2 * s,
-        v1_brightness=(impl == "simclrv1"),
+        v1_brightness=(impl == "simclrv1"), out_dtype=out_dtype,
         kernel_size=kernel_size, interpret=interpret)
 
 
@@ -698,14 +699,18 @@ def two_view_pretrain_batch(
     Both paths draw identical randomness; the fused path computes in f32
     (like the reference's host CPU math) where XLA uses ``dtype``.
     """
-    if images.dtype == jnp.uint8:
-        images = images.astype(jnp.float32) / 255.0
     k1, k2, k_blur = jax.random.split(key, 3)
     if color_impl is None:
         color_impl = "pallas" if jax.default_backend() == "tpu" else "xla"
     if color_impl != "xla" and color_jitter_strength > 0:
         b = images.shape[0]
-        imgs = images.astype(dtype) if dtype is not None else images
+        # uint8 canvases enter the kernel raw: the /255 conversion happens
+        # per plane in VMEM, so no float canvas is ever materialized in HBM
+        # (and the NHWC->planar transpose moves 4x fewer bytes).
+        if images.dtype == jnp.uint8:
+            imgs = images
+        else:
+            imgs = images.astype(dtype) if dtype is not None else images
         params, keys_jitter = [], []
         for k in (k1, k2):
             # Same splits/draws as preprocess_for_train -> crop_and_resize,
@@ -716,10 +721,14 @@ def two_view_pretrain_batch(
             params.append(crop_params(imgs, k_crop, height, width,
                                       valid_hw=valid_hw, flips=flips))
             keys_jitter.append(k_jitter)
+        out_dtype = dtype or jnp.float32
         return _two_view_fused_color(
             imgs, jnp.concatenate(params, axis=0), keys_jitter, k_blur,
             height, width, color_jitter_strength, use_blur, impl,
+            out_dtype=out_dtype,
             interpret=(color_impl == "pallas_interpret"))
+    if images.dtype == jnp.uint8:
+        images = images.astype(jnp.float32) / 255.0
     view_a = preprocess_for_train(images, k1, height, width, color_jitter_strength,
                                   impl=impl, dtype=dtype, valid_hw=valid_hw)
     view_b = preprocess_for_train(images, k2, height, width, color_jitter_strength,

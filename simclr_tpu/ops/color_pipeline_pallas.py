@@ -106,12 +106,20 @@ def _color_kernel(tab_ref, x_ref, out_ref, *, radius: int, brightness: float,
         # with per-image sampling matrices built in-VMEM from the box
         # scale/translation scalars (flip pre-folded into sx/tx).
         hin, win = x_ref.shape[2], x_ref.shape[3]
-        cdt = x_ref.dtype
+        integer_in = jnp.issubdtype(x_ref.dtype, jnp.integer)
+        # uint8 canvases convert to [0,1] float HERE, per plane in VMEM —
+        # the float canvas never exists in HBM.
+        cdt = out_ref.dtype if integer_in else x_ref.dtype
         wv = _weight_mat_t(hin, h, tab[0, _CROP0 + 0], tab[0, _CROP0 + 2]).astype(cdt)
         wh = _weight_mat_t(win, w, tab[0, _CROP0 + 1], tab[0, _CROP0 + 3]).astype(cdt)
         for p_ in range(3):
+            plane = x_ref[0, p_]
+            if integer_in:
+                # Mosaic has no u8->f32 cast; hop through int32.
+                plane = plane.astype(jnp.int32).astype(jnp.float32)
+                plane = (plane / 255.0).astype(cdt)
             tmp = jax.lax.dot_general(
-                wv, x_ref[0, p_], (((1,), (0,)), ((), ())),
+                wv, plane, (((1,), (0,)), ((), ())),
                 preferred_element_type=jnp.float32)  # (h, win)
             res = jax.lax.dot_general(
                 tmp.astype(cdt), wh, (((1,), (1,)), ((), ())),
@@ -250,10 +258,11 @@ def fused_color_pipeline(images, perm, u, gates, sigmas, *,
 
 def _call_kernel(planar, crop, perm, u, gates, kern, out_hw, n_views, *,
                  radius, brightness, contrast, saturation, hue,
-                 v1_brightness, do_crop, interpret):
+                 v1_brightness, do_crop, interpret, out_dtype=None):
     b, c = planar.shape[0], planar.shape[1]
     h, w = out_hw
     hin, win = planar.shape[2], planar.shape[3]
+    out_dtype = out_dtype or planar.dtype
     # Packed per-view scalar table: [perm(4) | u(4) | gates(3) | crop(4) |
     # taps(ksize)] as one f32 row per view, shaped (V, 1, T) so each program
     # fetches only its own row into VMEM.
@@ -268,7 +277,7 @@ def _call_kernel(planar, crop, perm, u, gates, kern, out_hw, n_views, *,
             _color_kernel, radius=radius, brightness=brightness,
             contrast=contrast, saturation=saturation, hue=hue,
             v1_brightness=v1_brightness, do_crop=do_crop),
-        out_shape=jax.ShapeDtypeStruct((n_views, c, h, w), planar.dtype),
+        out_shape=jax.ShapeDtypeStruct((n_views, c, h, w), out_dtype),
         grid=(n_views,),
         in_specs=[
             pl.BlockSpec((1, 1, t), lambda i: (i, 0, 0),
@@ -284,11 +293,11 @@ def _call_kernel(planar, crop, perm, u, gates, kern, out_hw, n_views, *,
 
 @functools.partial(jax.jit, static_argnames=(
     "out_hw", "brightness", "contrast", "saturation", "hue", "v1_brightness",
-    "kernel_size", "interpret"))
+    "out_dtype", "kernel_size", "interpret"))
 def fused_crop_color_pipeline(canvas, crop_params, perm, u, gates, sigmas, *,
                               out_hw, brightness: float, contrast: float,
                               saturation: float, hue: float,
-                              v1_brightness: bool = False,
+                              v1_brightness: bool = False, out_dtype=None,
                               kernel_size: int = 0, interpret: bool = False):
     """The ENTIRE two-view augmentation after box/flip sampling: bicubic
     distorted crop (+folded flip) + jitter + grayscale + blur, one Pallas
@@ -317,5 +326,5 @@ def fused_crop_color_pipeline(canvas, crop_params, perm, u, gates, sigmas, *,
                        radius=radius, brightness=brightness,
                        contrast=contrast, saturation=saturation, hue=hue,
                        v1_brightness=v1_brightness, do_crop=True,
-                       interpret=interpret)
+                       interpret=interpret, out_dtype=out_dtype)
     return jnp.transpose(out, (0, 2, 3, 1))

@@ -67,11 +67,16 @@ def make_train_step(config: Config, model, tx: optax.GradientTransformation,
         rng = jax.random.fold_in(base_rng, state.step)
         k_aug = jax.random.fold_in(rng, 0)
 
-        images = batch["image"].astype(jnp.float32) / 255.0
+        images = batch["image"]
         labels = batch["label"]
 
         aug_dtype = jnp.bfloat16 if config.compute_dtype == "bfloat16" else None
         valid_hw = batch.get("valid_hw")  # letterboxed canvas valid region
+        if not (pretrain and images.dtype == jnp.uint8):
+            # Pretrain uint8 canvases go to two_view raw — the fused Pallas
+            # path converts /255 per plane in VMEM, never materializing a
+            # float canvas in HBM (the XLA path converts inside two_view).
+            images = images.astype(jnp.float32) / 255.0
         if pretrain:
             # Two augmented views, on device (tf2/data.py:52-62 + model blur).
             images = augment.two_view_pretrain_batch(
@@ -173,10 +178,12 @@ def make_shard_map_train_step(config: Config, model, tx: optax.GradientTransform
         rng = jax.random.fold_in(jax.random.fold_in(base_rng, state.step), replica)
         k_aug = jax.random.fold_in(rng, 0)
 
-        images = batch["image"].astype(jnp.float32) / 255.0
+        images = batch["image"]
         labels = batch["label"]
         aug_dtype = jnp.bfloat16 if config.compute_dtype == "bfloat16" else None
         valid_hw = batch.get("valid_hw")
+        if not (pretrain and images.dtype == jnp.uint8):
+            images = images.astype(jnp.float32) / 255.0
         if pretrain:
             images = augment.two_view_pretrain_batch(
                 images, k_aug, h, w,
