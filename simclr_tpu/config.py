@@ -110,7 +110,7 @@ class Config:
     fsdp: bool = _field(False, "Shard parameters/optimizer state across the data axis (ZeRO-style).")
     device_augment: bool = _field(True, "Run the augmentation stack on device (batched) instead of the host.")
     input_pipeline: str = _field("python", "Host batching backend for array/npz/synthetic sources: python | native (C++ threaded) | grain.")
-    use_fused_ntxent: str = _field("auto", "Streaming Pallas NT-Xent (fwd+bwd+metrics; no (2N)^2 logits in HBM). Wins >=1.5x at 2N>=8192 and is ~13x closer to the f64 gradient than the dense XLA path; breakeven below that. 'auto' (default) enables it exactly where it wins: global 2N >= 8192 on the shard_map path or a single chip (GSPMD cannot partition the kernel). true/false force it.")
+    use_fused_ntxent: str = _field("auto", "Streaming Pallas NT-Xent (fwd+bwd+metrics; no (2N)^2 logits in HBM). Wins >=1.5x at 2N>=8192 and is ~13x closer to the f64 gradient than the dense XLA path; breakeven below that. 'auto' (default) enables it exactly where it wins: global 2N >= 8192. Runs on every path — single chip, shard_map, and multi-device GSPMD (via a shard_map island over the mesh batch axes). true/false force it.")
     use_shard_map: bool = _field(False, "Explicit-SPMD train step via shard_map (required for per-replica BN, i.e. global_bn=False, on multi-device).")
     fused_bn: bool = _field(True, "Fused-VJP batch norm (one reduction pass fwd, one bwd; ops/fused_bn.py). Numerically equivalent to the flax/autodiff path; set false to fall back.")
     remat_until_block: int = _field(0, "Rematerialise (activation-checkpoint) block groups [0, N): recompute their activations in the backward pass instead of storing them. Use 2-4 for big models (R152 3x+SK) or large per-chip batches.")
@@ -180,16 +180,17 @@ def resolve_use_fused_ntxent(config: Config, n_devices: int) -> bool:
     """Resolve the tri-state --use_fused_ntxent to a bool for step building.
 
     'auto' enables the fused kernel exactly where it measured faster
-    (global 2N >= 8192) AND where it is partitionable (single device, or
-    the shard_map path which all-gathers keys explicitly); explicit
-    true/false force the choice (true on multi-device GSPMD still raises
-    in trainer.train, since the partitioner cannot shard the kernel).
+    (global 2N >= 8192 — the reference's flagship batch-4096 regime).  It
+    is available on every execution path: single device, the shard_map
+    step, and multi-device GSPMD (where the step wraps it in a shard_map
+    island over the mesh batch axes — see
+    ops/ntxent_pallas.py::ntxent_fused_metrics_gspmd).  Explicit
+    true/false force the choice.
     """
     v = config.use_fused_ntxent
     if isinstance(v, str):
         if v.lower() == "auto":
-            return (2 * config.train_batch_size >= 8192
-                    and (n_devices == 1 or config.use_shard_map))
+            return 2 * config.train_batch_size >= 8192
         v = _str2bool(v)
     return bool(v)
 

@@ -384,6 +384,58 @@ def _fused_metrics_bwd(hidden_norm, temperature, axis_name, residuals, g):
 ntxent_fused_metrics.defvjp(_fused_metrics_fwd, _fused_metrics_bwd)
 
 
+def ntxent_fused_metrics_gspmd(hidden, hidden_norm: bool = True,
+                               temperature: float = 1.0, mesh=None):
+    """Fused NT-Xent under the GSPMD (jit + NamedSharding) training path.
+
+    The Pallas kernel cannot be sharded by the XLA partitioner, so inside
+    the GSPMD step we drop into an explicit ``shard_map`` island over the
+    mesh's batch axes: split the global (2N, D) embeddings into the two
+    view halves, hand each device its aligned (local-a, local-b) block,
+    and run the rectangular kernel per device with its all_gather forward
+    / column-grad psum backward — the same collective pattern GSPMD's own
+    partitioning of the dense loss would insert (reference flagship scale:
+    global batch 4096 on >=32 cores, README.md:109; tile structure
+    objective.py:75-80).
+
+    ``mesh=None`` or a 1-device batch extent falls through to the direct
+    single-shard call.  Returns (loss, contrast_acc, contrast_entropy) as
+    replicated global means; gradients flow through the shard_map island
+    (pmean-of-local-means transpose delivers the 1/R cotangent each
+    replica's custom VJP expects)."""
+    if mesh is None:
+        return ntxent_fused_metrics(hidden, hidden_norm, temperature, None)
+    from jax.sharding import PartitionSpec as P
+
+    from simclr_tpu.parallel import mesh as mesh_lib
+
+    axes = mesh_lib.batch_axes(mesh)
+    axes_t = axes if isinstance(axes, tuple) else (axes,)
+    n = 1
+    for a in axes_t:
+        n *= mesh.shape[a]
+    if n == 1:
+        return ntxent_fused_metrics(hidden, hidden_norm, temperature, None)
+    axis_name = axes_t if len(axes_t) > 1 else axes_t[0]
+    b = hidden.shape[0] // 2
+    if b % n:
+        # Ragged per-device batch: the rectangular tile math assumes equal
+        # row blocks.  Dense GSPMD handles any divisibility — use it.
+        return _dense_loss_metrics(hidden, hidden_norm, temperature, None)
+
+    def body(h1_local, h2_local):
+        h = jnp.concatenate([h1_local, h2_local], axis=0)
+        loss, acc, ent = ntxent_fused_metrics(h, hidden_norm, temperature,
+                                              axis_name)
+        # Local row-means -> replicated global means (equal shard sizes).
+        return jax.lax.pmean(jnp.stack([loss, acc, ent]), axis_name)
+
+    h1, h2 = jnp.split(hidden, 2, axis=0)
+    out = jax.shard_map(body, mesh=mesh, in_specs=(P(axes), P(axes)),
+                        out_specs=P(), check_vma=False)(h1, h2)
+    return out[0], out[1], out[2]
+
+
 def ntxent_loss_fused(hidden, hidden_norm: bool = True, temperature: float = 1.0):
     """Loss-only fused NT-Xent (compatibility wrapper)."""
     loss, _, _ = ntxent_fused_metrics(hidden, hidden_norm, temperature, None)

@@ -54,10 +54,16 @@ def _resolve_fused(config: Config) -> bool:
 
 
 def make_train_step(config: Config, model, tx: optax.GradientTransformation,
-                    lr_fn: Callable) -> Callable:
+                    lr_fn: Callable, mesh=None) -> Callable:
     """Build the jittable train step: (state, batch, base_rng) -> (state, metrics).
 
     batch: {'image': uint8 (B, H0, W0, 3) global, 'label': int32 (B,)}.
+
+    ``mesh``: the device mesh the step will be jitted over.  Only needed by
+    the fused NT-Xent path, which drops into a shard_map island over the
+    mesh's batch axes (the GSPMD partitioner cannot shard the Pallas
+    kernel); everything else is partitioner-propagated from the batch
+    sharding.  ``mesh=None`` keeps single-shard fused semantics.
     """
     pretrain = config.train_mode == "pretrain"
     h = w = config.image_size
@@ -105,10 +111,12 @@ def make_train_step(config: Config, model, tx: optax.GradientTransformation,
             loss = jnp.zeros([], jnp.float32)
             if pretrain:
                 if use_fused_ntxent:
-                    from simclr_tpu.ops.ntxent_pallas import ntxent_fused_metrics
+                    from simclr_tpu.ops.ntxent_pallas import (
+                        ntxent_fused_metrics_gspmd,
+                    )
 
-                    con_loss, con_acc, con_ent = ntxent_fused_metrics(
-                        proj, config.hidden_norm, config.temperature, None)
+                    con_loss, con_acc, con_ent = ntxent_fused_metrics_gspmd(
+                        proj, config.hidden_norm, config.temperature, mesh)
                     metrics["train/contrast_acc"] = con_acc
                     metrics["train/contrast_entropy"] = con_ent
                 else:

@@ -112,12 +112,6 @@ def train(config: Config) -> TrainState:
             "the GSPMD path handles hybrid ICI+DCN meshes (hierarchical "
             "collectives come out of the partitioner)")
     fused_ntxent = resolve_use_fused_ntxent(config, mesh.size)
-    if fused_ntxent and not config.use_shard_map and mesh.size > 1:
-        raise ValueError(
-            "--use_fused_ntxent on multiple devices requires "
-            "--use_shard_map=true: the GSPMD partitioner cannot shard the "
-            "Pallas kernel (the shard_map path all-gathers keys and runs the "
-            "local tile per replica)")
 
     ds, info = build_dataset(config, is_training=True)
     model, tx, lr_fn = build_model_and_optimizer(config, info.num_train_examples, info.num_classes)
@@ -136,7 +130,7 @@ def train(config: Config) -> TrainState:
 
         train_step = make_shard_map_train_step(step_config, model, masked_tx, lr_fn, mesh)
     else:
-        train_step = make_train_step(step_config, model, masked_tx, lr_fn)
+        train_step = make_train_step(step_config, model, masked_tx, lr_fn, mesh=mesh)
     step_fn = jax.jit(train_step, donate_argnums=(0,))
 
     total_steps = get_train_steps(config, info.num_train_examples)

@@ -184,3 +184,116 @@ def test_fused_shard_map_matches_dense(force_interpret):
     # train step applies to *parameter* grads.  Scale to compare.
     np.testing.assert_allclose(g_full / n_dev, np.asarray(ref_grad),
                                rtol=1e-4, atol=1e-6)
+
+
+@pytest.mark.parametrize("mesh_axes", [("data",), ("dcn", "data")])
+def test_fused_gspmd_island_matches_dense(force_interpret, mesh_axes):
+    """ntxent_fused_metrics_gspmd: the shard_map island inside the GSPMD
+    path — global (2N, D) embeddings batch-sharded over the mesh, kernel on
+    per-device tiles — must reproduce the dense single-shard loss, metrics
+    AND gradient (VERDICT r2 #1).  Covers both the flat 'data' mesh and the
+    hybrid ('dcn', 'data') multi-slice mesh (tuple axis collectives)."""
+    from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+    from simclr_tpu.ops.ntxent_pallas import ntxent_fused_metrics_gspmd
+
+    n_dev = 8
+    devices = np.array(jax.devices()[:n_dev]).reshape(
+        (2, 4) if len(mesh_axes) == 2 else (n_dev,))
+    mesh = Mesh(devices, mesh_axes)
+    T = 0.3
+    hidden = jax.random.normal(jax.random.PRNGKey(8), (2 * 2 * n_dev, 16))
+
+    def dense(h):
+        loss, logits_ab, labels = add_contrastive_loss(h, temperature=T)
+        return loss, (contrastive_accuracy(logits_ab, labels),
+                      contrastive_entropy(logits_ab))
+
+    (ref_loss, (ref_acc, ref_ent)), ref_grad = jax.value_and_grad(
+        dense, has_aux=True)(hidden)
+
+    batch_spec = P(mesh_axes if len(mesh_axes) > 1 else mesh_axes[0])
+    h_sharded = jax.device_put(hidden, NamedSharding(mesh, batch_spec))
+
+    def fused(h):
+        loss, acc, ent = ntxent_fused_metrics_gspmd(h, True, T, mesh)
+        return loss, (acc, ent)
+
+    (loss, (acc, ent)), grad = jax.jit(
+        jax.value_and_grad(fused, has_aux=True))(h_sharded)
+
+    np.testing.assert_allclose(float(loss), float(ref_loss), rtol=1e-5)
+    np.testing.assert_allclose(float(acc), float(ref_acc))
+    np.testing.assert_allclose(float(ent), float(ref_ent), rtol=1e-4)
+    np.testing.assert_allclose(np.asarray(grad), np.asarray(ref_grad),
+                               rtol=1e-4, atol=1e-6)
+
+
+def test_fused_gspmd_island_single_device_passthrough(force_interpret):
+    """A 1-device mesh (or mesh=None) must fall through to the direct
+    single-shard fused call — no shard_map island."""
+    from jax.sharding import Mesh
+
+    hidden = jax.random.normal(jax.random.PRNGKey(9), (16, 8))
+    from simclr_tpu.ops.ntxent_pallas import ntxent_fused_metrics_gspmd
+
+    mesh = Mesh(np.array(jax.devices()[:1]), ("data",))
+    loss1, acc1, ent1 = ntxent_fused_metrics_gspmd(hidden, True, 0.5, mesh)
+    loss0, acc0, ent0 = ntxent_fused_metrics(hidden, True, 0.5, None)
+    np.testing.assert_allclose(float(loss1), float(loss0), rtol=1e-6)
+    np.testing.assert_allclose(float(acc1), float(acc0))
+    np.testing.assert_allclose(float(ent1), float(ent0), rtol=1e-6)
+
+
+def test_gspmd_fused_train_step_matches_dense(force_interpret):
+    """Full GSPMD train step on the 8-device mesh: --use_fused_ntxent=true
+    must produce the same loss and updated params as the dense path
+    (VERDICT r2 #1 'done' criterion)."""
+    from simclr_tpu.config import Config
+    from simclr_tpu.models.model import SimCLRModel
+    from simclr_tpu.optim.builder import (build_optimizer, masked,
+                                          trainable_mask)
+    from simclr_tpu.optim.schedule import warmup_cosine_schedule
+    from simclr_tpu.parallel import mesh as mesh_lib
+    from simclr_tpu.training import trainer
+    from simclr_tpu.training.steps import make_train_step
+
+    base = Config(dataset="synthetic", num_images_default=64, image_size=32,
+                  resnet_depth=18, train_batch_size=16, train_steps=1,
+                  warmup_epochs=0, compute_dtype="float32", use_blur=False,
+                  proj_out_dim=32)
+    mesh = mesh_lib.create_mesh(base, devices=jax.devices()[:8])
+    rng = np.random.RandomState(0)
+    batch = {
+        "image": jax.device_put(
+            rng.randint(0, 256, size=(16, 32, 32, 3), dtype=np.uint8),
+            mesh_lib.batch_sharding(mesh)),
+        "label": jax.device_put(rng.randint(0, 10, size=(16,)).astype(np.int32),
+                                mesh_lib.batch_sharding(mesh)),
+    }
+
+    results = {}
+    for fused in (False, True):
+        config = base.replace(use_fused_ntxent=fused)
+        model, tx, lr_fn = trainer.build_model_and_optimizer(config, 64, 10)
+        state = trainer.init_state(config, model, tx, mesh, (32, 32, 3))
+        mask = trainable_mask(config, state.params)
+        step = jax.jit(make_train_step(config, model, masked(tx, mask),
+                                       lr_fn, mesh=mesh))
+        new_state, metrics = step(state, batch, jax.random.PRNGKey(0))
+        results[fused] = (jax.device_get(metrics),
+                          jax.device_get(new_state.params))
+
+    m_dense, p_dense = results[False]
+    m_fused, p_fused = results[True]
+    np.testing.assert_allclose(m_fused["train/contrast_loss"],
+                               m_dense["train/contrast_loss"], rtol=1e-4)
+    np.testing.assert_allclose(m_fused["train/contrast_acc"],
+                               m_dense["train/contrast_acc"], atol=1e-6)
+    np.testing.assert_allclose(m_fused["train/total_loss"],
+                               m_dense["train/total_loss"], rtol=1e-4)
+    flat_d = jax.tree.leaves(p_dense)
+    flat_f = jax.tree.leaves(p_fused)
+    for a, b in zip(flat_f, flat_d):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=5e-3, atol=1e-5)

@@ -244,16 +244,17 @@ def test_steps_per_loop_memory_budget():
 
 def test_resolve_use_fused_ntxent_auto():
     """'auto' enables the fused NT-Xent exactly where it measured faster
-    (global 2N >= 8192) and where it is partitionable; explicit strings and
-    bools pass through (VERDICT r1 #5 follow-up)."""
+    (global 2N >= 8192) on every path — since round 3 the GSPMD step wraps
+    the kernel in a shard_map island, so multi-device no longer backs off;
+    explicit strings and bools pass through (VERDICT r2 #1)."""
     from simclr_tpu.config import Config, resolve_use_fused_ntxent
 
     big = Config(train_batch_size=4096)          # 2N = 8192
     small = Config(train_batch_size=2048)        # 2N = 4096 (breakeven below)
     assert resolve_use_fused_ntxent(big, 1) is True
     assert resolve_use_fused_ntxent(small, 1) is False
-    # multi-device GSPMD cannot partition the kernel -> auto backs off
-    assert resolve_use_fused_ntxent(big, 8) is False
+    # multi-device GSPMD now runs the kernel through the shard_map island
+    assert resolve_use_fused_ntxent(big, 8) is True
     assert resolve_use_fused_ntxent(big.replace(use_shard_map=True), 8) is True
     # explicit values win
     assert resolve_use_fused_ntxent(
