@@ -53,6 +53,7 @@ class Config:
     checkpoint_epochs: int = _field(1, "Checkpoint every this many epochs.")
     checkpoint_steps: int = _field(0, "Checkpoint every this many steps (overrides epochs when > 0).")
     eval_split: str = _field("validation", "Dataset split for eval.")
+    eval_dataset: Optional[str] = _field(None, "Separate eval source (default: --dataset). For npz sources the whole file is the eval set (no 90/10 auto-split) — how tools/real_data_acceptance.py feeds a real held-out test split.")
 
     # --- dataset ----------------------------------------------------------
     dataset: str = _field("imagenet2012", "Dataset name (tfds name, 'cifar10', or 'synthetic').")
@@ -76,7 +77,7 @@ class Config:
     keep_hub_module_max: int = _field(1, "Maximum exported serving modules to keep.")
     export_tf_savedmodel: bool = _field(False, "Also convert each serving bundle to a TF SavedModel (two signatures: frozen-stats + train-mode BN, reference tf2/run.py:241-305) via jax2tf; requires tensorflow importable.")
     model_dir: Optional[str] = _field(None, "Model directory for checkpoints / summaries / results.")
-    eval_name: Optional[str] = _field(None, "Name for this eval.")
+    eval_name: Optional[str] = _field(None, "Name for this eval; namespaces the eval summary folder (model_dir/eval_<name>), like estimator.evaluate(name=...).")
 
     # --- objective --------------------------------------------------------
     temperature: float = _field(0.1, "NT-Xent temperature.")
@@ -108,7 +109,8 @@ class Config:
     mesh_shape: Optional[str] = _field(None, "Device mesh, e.g. '8' or '4,2' for (data, model); default = all devices on data.")
     dcn_data_parallelism: int = _field(1, "Number of TPU slices data-parallel over DCN (>1 builds a hybrid ('dcn','data') mesh; collectives reduce hierarchically, heavy traffic stays on ICI).")
     fsdp: bool = _field(False, "Shard parameters/optimizer state across the data axis (ZeRO-style).")
-    device_augment: bool = _field(True, "Run the augmentation stack on device (batched) instead of the host.")
+    device_augment: bool = _field(True, "Run the augmentation stack on device (batched, default) or, when false, on the host CPU inside the prefetch thread (the reference's tf.data architecture; same draws, see data/host_augment.py). Host mode requires the GSPMD path (not --use_shard_map).")
+    host_crop_full_res: bool = _field(True, "For streaming (tfds) train sources: sample + resample the distorted crop on host at ORIGINAL image resolution (reference data_util.py:252-325 pixel fidelity; device applies flip/color/blur only). When false, the device samples crops from the <=256px letterboxed canvas — cheaper on host, ~6x less source detail for large photos.")
     input_pipeline: str = _field("python", "Host batching backend for array/npz/synthetic sources: python | native (C++ threaded) | grain.")
     use_fused_ntxent: str = _field("auto", "Streaming Pallas NT-Xent (fwd+bwd+metrics; no (2N)^2 logits in HBM). Wins >=1.5x at 2N>=8192 and is ~13x closer to the f64 gradient than the dense XLA path; breakeven below that. 'auto' (default) enables it exactly where it wins: global 2N >= 8192. Runs on every path — single chip, shard_map, and multi-device GSPMD (via a shard_map island over the mesh batch axes). true/false force it.")
     use_shard_map: bool = _field(False, "Explicit-SPMD train step via shard_map (required for per-replica BN, i.e. global_bn=False, on multi-device).")

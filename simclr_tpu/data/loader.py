@@ -39,6 +39,11 @@ class DatasetInfo:
     # Eval images were already center-cropped at original resolution on the
     # host (variable-size sources); the device eval step must not crop again.
     eval_host_preprocessed: bool = False
+    # Train batches carry per-view distorted crops taken on host at ORIGINAL
+    # source resolution ('image' is (B, V, H, W, 3)); the device augment
+    # stage applies flip/color/blur only (full-fidelity path,
+    # data_util.py:252-325).
+    train_host_cropped: bool = False
 
 
 _CANVAS = 256  # host canvas side for large images (device crops from this)
@@ -79,6 +84,50 @@ def make_train_canvas_fn(canvas_h: int, canvas_w: int):
         canvas = tf.gather(canvas, tf.minimum(tf.range(canvas_w), nw - 1), axis=1)
         return (tf.cast(canvas, tf.uint8),
                 tf.stack([nh, nw]))
+
+    return fn
+
+
+def make_train_crop_fn(height: int, width: int, num_views: int, seed: int):
+    """TF map: the reference's train crop at ORIGINAL resolution — sample a
+    distorted bounding box per view with the exact reference op and
+    distribution (tf.image.sample_distorted_bounding_box, min_object_covered
+    0.1, aspect ratio 3/4..4/3 x target aspect, area 8%..100%, 100 attempts
+    — data_util.py:252-325), crop the box from the full-resolution source,
+    and bicubic-resize it to the target size.  Emits uint8
+    (num_views, height, width, 3); flip + color jitter + blur stay on
+    device (ops/augment.py two_view_pretrain_batch(host_cropped=True)).
+
+    This is the full-fidelity alternative to the letterbox canvas: an
+    8%-area crop of a 1500px photo resamples ~400px of real detail instead
+    of the ~100px a 256px canvas retains."""
+    import tensorflow as tf
+
+    aspect = width / height
+
+    def one_crop(image, op_seed):
+        begin, size, _ = tf.image.stateless_sample_distorted_bounding_box(
+            tf.shape(image),
+            bounding_boxes=tf.zeros((1, 0, 4), tf.float32),
+            seed=op_seed,
+            min_object_covered=0.1,
+            aspect_ratio_range=(3.0 / 4.0 * aspect, 4.0 / 3.0 * aspect),
+            area_range=(0.08, 1.0),
+            max_attempts=100,
+            use_image_if_no_bounding_boxes=True,
+        )
+        crop = tf.slice(image, begin, size)
+        crop = tf.image.resize(crop, (height, width), method="bicubic")
+        crop = tf.clip_by_value(tf.cast(crop, tf.float32), 0.0, 255.0)
+        return tf.cast(crop, tf.uint8)
+
+    def fn(image, index):
+        # Stateless per-example x per-view seeds: deterministic under
+        # num_parallel_calls=AUTOTUNE (unlike the reference's stateful op).
+        idx = tf.cast(index, tf.int32)
+        views = [one_crop(image, tf.stack([seed + v, idx]))
+                 for v in range(num_views)]
+        return tf.stack(views)
 
     return fn
 
@@ -209,10 +258,16 @@ class ArrayDataset:
         else:
             for i in range(0, n, bs):
                 idx = np.arange(i, min(i + bs, n))
-                if len(idx) < bs:  # pad final batch (mask handled by caller)
-                    idx = np.concatenate([idx, np.zeros(bs - len(idx), np.int64)])
-                images, labels = shard_for_process(self.images[idx], self.labels[idx])
-                yield {"image": images, "label": labels}
+                if len(idx) < bs:  # pad final batch; pad rows carry
+                    # index == n so the caller's mask drops them exactly
+                    pad = np.zeros(bs - len(idx), np.int64)
+                    gidx = np.concatenate([idx, np.full(bs - len(idx), n)])
+                    idx = np.concatenate([idx, pad])
+                else:
+                    gidx = idx
+                images, labels, gidx = shard_for_process(
+                    self.images[idx], self.labels[idx], gidx.astype(np.int32))
+                yield {"image": images, "label": labels, "index": gidx}
 
 
 # ---------------------------------------------------------------------------
@@ -277,6 +332,12 @@ class TFDSStream:
         else:
             ds = builder.as_dataset(split=split, shuffle_files=is_training,
                                     as_supervised=True)
+        if not is_training:
+            # Exact multi-host eval masks: tag every example with its GLOBAL
+            # index BEFORE sharding, so padding masks on ragged final shards
+            # attribute rows exactly (TF1 pad_to_batch parity, data.py:31-100
+            # — evaluate() masks rows by index >= num_examples).
+            ds = ds.enumerate()
         if jax.process_count() > 1:
             ds = ds.shard(jax.process_count(), jax.process_index())
         if config.cache_dataset:
@@ -286,7 +347,24 @@ class TFDSStream:
             ds = ds.shuffle(bs * buffer_multiplier, seed=config.seed)
             ds = ds.repeat(-1)
 
-        if is_training:
+        self.train_host_cropped = False
+        if is_training and config.host_crop_full_res and config.image_size > 32:
+            # Full-fidelity path (default): distorted crops sampled and
+            # resampled at ORIGINAL resolution on host; device does
+            # flip/color/blur only.
+            self.train_host_cropped = True
+            views = 2 if config.train_mode == "pretrain" else 1
+            crop_fn = make_train_crop_fn(config.image_size, config.image_size,
+                                         views, seed=config.seed)
+            ds = ds.enumerate()
+
+            def map_fn(index, example):
+                image, label = example
+                crops = crop_fn(image, index)
+                if views == 1:  # finetune: single view, no view axis
+                    crops = crops[0]
+                return {"image": crops, "label": tf.cast(label, tf.int32)}
+        elif is_training:
             canvas_fn = make_train_canvas_fn(h, w)
 
             def map_fn(image, label):
@@ -297,8 +375,10 @@ class TFDSStream:
             eval_fn = make_eval_crop_fn(config.image_size, config.image_size,
                                         test_crop=config.image_size > 32)
 
-            def map_fn(image, label):
-                return {"image": eval_fn(image), "label": tf.cast(label, tf.int32)}
+            def map_fn(index, example):
+                image, label = example
+                return {"image": eval_fn(image), "label": tf.cast(label, tf.int32),
+                        "index": tf.cast(index, tf.int32)}
 
         ds = ds.map(map_fn, num_parallel_calls=tf.data.AUTOTUNE)
         # Multi-process: the stream above is sharded per process, so each
@@ -330,6 +410,7 @@ class TFDSStream:
         self._skip_batches = int(step) % steps_per_epoch
 
     def __iter__(self) -> Iterator[dict]:
+        import jax
         import tensorflow as tf
         import tensorflow_datasets as tfds
 
@@ -337,12 +418,36 @@ class TFDSStream:
         if self._skip_batches:
             ds = ds.skip(self._skip_batches)
         ds = ds.prefetch(tf.data.AUTOTUNE)
+        n_yielded = 0
+        last = None
         for batch in tfds.as_numpy(ds):
             if len(batch["label"]) < self._bs:  # pad final eval batch
                 pad = self._bs - len(batch["label"])
                 batch = {k: np.concatenate([v, np.repeat(v[:1], pad, 0)])
                          for k, v in batch.items()}
+                if "index" in batch:  # pad rows must be masked, not
+                    # double-counted: index == num_examples drops them
+                    batch["index"][-pad:] = self.num_examples
             yield dict(batch)
+            last = batch
+            n_yielded += 1
+        if self._is_training or jax.process_count() <= 1 or last is None:
+            return
+        # Ragged multi-host eval: every process must join the SAME number of
+        # collective eval steps.  Per-shard example counts differ by <=1, so
+        # a process can be one batch short — emit fully-masked filler
+        # batches up to the global maximum (index == num_examples on every
+        # row drops them from all metrics).
+        n_proc = jax.process_count()
+        max_shard = -(-self.num_examples // n_proc)  # ceil: largest shard
+        expected = -(-max_shard // self._bs)
+        while n_yielded < expected:
+            filler = dict(last)
+            if "index" in filler:
+                filler["index"] = np.full_like(filler["index"],
+                                               self.num_examples)
+            yield filler
+            n_yielded += 1
 
 
 def _load_tfds(config: Config, is_training: bool):
@@ -354,7 +459,7 @@ def _load_tfds(config: Config, is_training: bool):
 # Entry point
 # ---------------------------------------------------------------------------
 
-def shard_for_process(images: np.ndarray, labels: np.ndarray):
+def shard_for_process(*arrays: np.ndarray):
     """Multi-host input sharding: each process reads its contiguous slice
     (the reference shards per input pipeline via input_context,
     tf2/data.py:43-47,64-75)."""
@@ -362,11 +467,12 @@ def shard_for_process(images: np.ndarray, labels: np.ndarray):
 
     n_proc = jax.process_count()
     if n_proc <= 1:
-        return images, labels
+        return arrays if len(arrays) > 1 else arrays[0]
     idx = jax.process_index()
-    per = len(images) // n_proc
+    per = len(arrays[0]) // n_proc
     lo, hi = idx * per, (idx + 1) * per
-    return images[lo:hi], labels[lo:hi]
+    out = tuple(a[lo:hi] for a in arrays)
+    return out if len(out) > 1 else out[0]
 
 
 def make_array_pipeline(config: Config, images: np.ndarray, labels: np.ndarray,
@@ -410,6 +516,24 @@ def make_array_pipeline(config: Config, images: np.ndarray, labels: np.ndarray,
 def build_dataset(config: Config, is_training: bool):
     """Returns (iterable, DatasetInfo)."""
     name = config.dataset
+    eval_override = (not is_training and config.eval_dataset
+                     and config.eval_dataset != config.dataset)
+    if eval_override:
+        # --eval_dataset: a dedicated held-out source (e.g. the real test
+        # split shipped as its own npz); the WHOLE file is the eval set —
+        # no 90/10 auto-split (tools/real_data_acceptance.py).
+        name = config.eval_dataset
+        if name.startswith("npz:"):
+            data = np.load(name[4:])
+            images, labels = data["images"], data["labels"]
+            num_classes = int(labels.max()) + 1
+            arr = make_array_pipeline(config, images, labels,
+                                      config.eval_batch_size, False)
+            n_train = config.num_images_default or len(images)
+            info = DatasetInfo(n_train, len(images), num_classes,
+                               images.shape[1:])
+            return arr, info
+        config = config.replace(dataset=name)
     if name == "synthetic":
         n_train = config.num_images_default or 4096
         n_eval = config.num_images_default or 1024
@@ -463,7 +587,12 @@ def build_dataset(config: Config, is_training: bool):
     ds, num, num_classes = _load_tfds(config, is_training)
     host_eval = getattr(ds, "eval_host_preprocessed", False)
     if is_training:
-        info = DatasetInfo(num, 0, num_classes, _canvas_shape(config))
+        if getattr(ds, "train_host_cropped", False):
+            shape = (config.image_size, config.image_size, 3)
+            info = DatasetInfo(num, 0, num_classes, shape,
+                               train_host_cropped=True)
+        else:
+            info = DatasetInfo(num, 0, num_classes, _canvas_shape(config))
     else:
         n_train = config.num_images_default or num
         info = DatasetInfo(n_train, num, num_classes, _canvas_shape(config),
@@ -481,16 +610,31 @@ class Prefetcher:
         self._q = queue.Queue(maxsize=depth)
         self._it = iter(iterable)
         self._done = object()
+        self._stop = False
 
         def worker():
             try:
                 for item in self._it:
                     self._q.put(item)
+                    if self._stop:
+                        break
             finally:
                 self._q.put(self._done)
 
         self._thread = threading.Thread(target=worker, daemon=True)
         self._thread.start()
+
+    def close(self, timeout: float = 5.0):
+        """Stop the prefetch thread (drains at most one in-flight batch) so
+        backends with their own worker pools (grain, native) tear down
+        before interpreter exit instead of aborting in a daemon thread."""
+        self._stop = True
+        try:
+            while True:
+                self._q.get_nowait()
+        except Exception:
+            pass
+        self._thread.join(timeout=timeout)
 
     def __iter__(self):
         return self

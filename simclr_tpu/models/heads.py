@@ -25,6 +25,7 @@ class LinearLayer(nn.Module):
     use_bn: bool = False
     bn_momentum: float = 0.9
     axis_name: Optional[str] = None
+    fused_bn: Optional[bool] = None
     dtype: Any = jnp.float32
 
     @nn.compact
@@ -42,7 +43,8 @@ class LinearLayer(nn.Module):
         if self.use_bn:
             x = BatchNormRelu(
                 relu=False, center=self.use_bias, momentum=self.bn_momentum,
-                axis_name=self.axis_name, dtype=self.dtype, name="bn_relu",
+                axis_name=self.axis_name, use_fused=self.fused_bn,
+                dtype=self.dtype, name="bn_relu",
             )(x, train)
         return x
 
@@ -60,11 +62,13 @@ class ProjectionHead(nn.Module):
     num_proj_layers: int = 3
     bn_momentum: float = 0.9
     axis_name: Optional[str] = None
+    fused_bn: Optional[bool] = None
     dtype: Any = jnp.float32
 
     @nn.compact
     def __call__(self, x, train: bool) -> Tuple[jnp.ndarray, List[jnp.ndarray]]:
-        common = dict(bn_momentum=self.bn_momentum, axis_name=self.axis_name, dtype=self.dtype)
+        common = dict(bn_momentum=self.bn_momentum, axis_name=self.axis_name,
+                      fused_bn=self.fused_bn, dtype=self.dtype)
         if self.proj_head_mode == "none":
             return x, [x]
         hiddens_list = [x]

@@ -46,6 +46,11 @@ class SimCLRModel(nn.Module):
     lineareval_while_pretraining: bool = True
     remat_until_block: int = 0
     axis_name: Optional[str] = None
+    # Per-instance fused-VJP BN choice (None = process default); carried on
+    # the model instead of global state so constructing a second model
+    # (serving load, distill teacher/student) cannot flip the BN
+    # implementation of models traced afterwards (ADVICE r2).
+    fused_bn: Optional[bool] = None
     dtype: Any = jnp.float32
 
     @classmethod
@@ -55,9 +60,6 @@ class SimCLRModel(nn.Module):
         # (axis_name=None) statistics are global automatically.
         if axis_name is not None and not config.global_bn:
             axis_name = None  # per-replica BN stats (reference global_bn=False)
-        from simclr_tpu.ops import fused_bn
-
-        fused_bn.set_enabled(config.fused_bn)
         return cls(
             num_classes=num_classes,
             resnet_depth=config.resnet_depth,
@@ -75,6 +77,7 @@ class SimCLRModel(nn.Module):
             lineareval_while_pretraining=config.lineareval_while_pretraining,
             remat_until_block=config.remat_until_block,
             axis_name=axis_name,
+            fused_bn=config.fused_bn,
             dtype=jnp.bfloat16 if config.compute_dtype == "bfloat16" else jnp.float32,
         )
 
@@ -91,6 +94,7 @@ class SimCLRModel(nn.Module):
             train_mode=self.train_mode,
             fine_tune_after_block=self.fine_tune_after_block,
             remat_until_block=self.remat_until_block,
+            fused_bn=self.fused_bn,
             dtype=self.dtype,
             name="resnet",
         )(images, train)
@@ -101,6 +105,7 @@ class SimCLRModel(nn.Module):
             num_proj_layers=self.num_proj_layers,
             bn_momentum=self.bn_momentum,
             axis_name=self.axis_name,
+            fused_bn=self.fused_bn,
             dtype=self.dtype,
             name="projection_head",
         )(features, train)

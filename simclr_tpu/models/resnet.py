@@ -60,12 +60,19 @@ class BatchNormRelu(nn.Module):
     scale: bool = True
     momentum: float = 0.9
     axis_name: Optional[str] = None
+    # True/False selects the fused-VJP vs flax BN implementation; None
+    # defers to the process default (ops/fused_bn.is_enabled()).  Threaded
+    # down from SimCLRModel.from_config so each model instance carries its
+    # own choice instead of flipping global state (ADVICE r2).
+    use_fused: Optional[bool] = None
     dtype: Any = jnp.float32
 
     @nn.compact
     def __call__(self, x, train: bool):
         scale_init = nn.initializers.zeros if self.init_zero else nn.initializers.ones
-        if fused_bn.is_enabled():
+        use_fused = (self.use_fused if self.use_fused is not None
+                     else fused_bn.is_enabled())
+        if use_fused:
             # Fused-VJP batch norm: one reduction pass forward, one backward
             # (see ops/fused_bn.py — ~40% of the R50 step was BN reductions
             # under the flax/autodiff formulation). Identical param/variable
@@ -240,12 +247,14 @@ class SKConv2D(nn.Module):
     min_dim: int = 32
     bn_momentum: float = 0.9
     axis_name: Optional[str] = None
+    fused_bn: Optional[bool] = None
     dtype: Any = jnp.float32
 
     @nn.compact
     def __call__(self, x, train: bool):
         bn = functools.partial(
-            BatchNormRelu, momentum=self.bn_momentum, axis_name=self.axis_name, dtype=self.dtype
+            BatchNormRelu, momentum=self.bn_momentum, axis_name=self.axis_name,
+            use_fused=self.fused_bn, dtype=self.dtype
         )
         x = Conv2dFixedPadding(2 * self.filters, 3, self.strides, dtype=self.dtype, name="conv2d_fixed_padding")(x)
         x = bn(name="batch_norm_relu")(x, train)
@@ -331,6 +340,7 @@ class ResidualBlock(nn.Module):
     se_ratio: float = 0.0
     bn_momentum: float = 0.9
     axis_name: Optional[str] = None
+    fused_bn: Optional[bool] = None
     dropblock_keep_prob: Optional[float] = None
     dropblock_size: Optional[int] = None
     dtype: Any = jnp.float32
@@ -338,7 +348,8 @@ class ResidualBlock(nn.Module):
     @nn.compact
     def __call__(self, x, train: bool):
         bn = functools.partial(
-            BatchNormRelu, momentum=self.bn_momentum, axis_name=self.axis_name, dtype=self.dtype
+            BatchNormRelu, momentum=self.bn_momentum, axis_name=self.axis_name,
+            use_fused=self.fused_bn, dtype=self.dtype
         )
         shortcut = x
         if self.use_projection:
@@ -374,6 +385,7 @@ class BottleneckBlock(nn.Module):
     se_ratio: float = 0.0
     bn_momentum: float = 0.9
     axis_name: Optional[str] = None
+    fused_bn: Optional[bool] = None
     dropblock_keep_prob: Optional[float] = None
     dropblock_size: Optional[int] = None
     dtype: Any = jnp.float32
@@ -381,7 +393,8 @@ class BottleneckBlock(nn.Module):
     @nn.compact
     def __call__(self, x, train: bool):
         bn = functools.partial(
-            BatchNormRelu, momentum=self.bn_momentum, axis_name=self.axis_name, dtype=self.dtype
+            BatchNormRelu, momentum=self.bn_momentum, axis_name=self.axis_name,
+            use_fused=self.fused_bn, dtype=self.dtype
         )
         dropblock = functools.partial(
             DropBlock, keep_prob=self.dropblock_keep_prob, dropblock_size=self.dropblock_size
@@ -409,6 +422,7 @@ class BottleneckBlock(nn.Module):
         if self.sk_ratio > 0:
             x = SKConv2D(self.filters, self.strides, self.sk_ratio,
                          bn_momentum=self.bn_momentum, axis_name=self.axis_name,
+                         fused_bn=self.fused_bn,
                          dtype=self.dtype, name="sk_conv2d")(x, train)
         else:
             x = Conv2dFixedPadding(self.filters, 3, self.strides, dtype=self.dtype, name="conv_1")(x)
@@ -435,6 +449,7 @@ class BlockGroup(nn.Module):
     se_ratio: float = 0.0
     bn_momentum: float = 0.9
     axis_name: Optional[str] = None
+    fused_bn: Optional[bool] = None
     dropblock_keep_prob: Optional[float] = None
     dropblock_size: Optional[int] = None
     dtype: Any = jnp.float32
@@ -445,6 +460,7 @@ class BlockGroup(nn.Module):
         common = dict(
             sk_ratio=self.sk_ratio, se_ratio=self.se_ratio,
             bn_momentum=self.bn_momentum, axis_name=self.axis_name,
+            fused_bn=self.fused_bn,
             dropblock_keep_prob=self.dropblock_keep_prob,
             dropblock_size=self.dropblock_size, dtype=self.dtype,
         )
@@ -469,6 +485,7 @@ class ResNet(nn.Module):
     se_ratio: float = 0.0
     bn_momentum: float = 0.9
     axis_name: Optional[str] = None
+    fused_bn: Optional[bool] = None
     train_mode: str = "pretrain"
     fine_tune_after_block: int = -1
     dropblock_keep_probs: Optional[Sequence[Optional[float]]] = None
@@ -486,7 +503,8 @@ class ResNet(nn.Module):
             raise ValueError(f"dropblock_keep_probs is not valid: {keep_probs}")
         w = self.width_multiplier
         bn = functools.partial(
-            BatchNormRelu, momentum=self.bn_momentum, axis_name=self.axis_name, dtype=self.dtype
+            BatchNormRelu, momentum=self.bn_momentum, axis_name=self.axis_name,
+            use_fused=self.fused_bn, dtype=self.dtype
         )
         endpoints = {}
 
@@ -546,6 +564,7 @@ class ResNet(nn.Module):
                 filters=group_filters[i], block_type=block_type, blocks=layers[i],
                 strides=group_strides[i], sk_ratio=self.sk_ratio, se_ratio=self.se_ratio,
                 bn_momentum=self.bn_momentum, axis_name=self.axis_name,
+                fused_bn=self.fused_bn,
                 dropblock_keep_prob=keep_probs[i], dropblock_size=self.dropblock_size,
                 dtype=self.dtype, name=f"block_group{i + 1}",
             )(x, group_train)

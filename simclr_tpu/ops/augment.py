@@ -435,11 +435,17 @@ def gaussian_blur(images, sigmas, kernel_size: int):
     return jnp.transpose(out.reshape(h, w, b, c), (2, 0, 1, 3))
 
 
-def batch_random_blur(images_list, key, height, width, blur_probability=0.5):
+def batch_random_blur(images_list, key, height, width, blur_probability=0.5,
+                      impl=None):
     """Per-image random-sigma blur + on/off selector
     (tf2/data_util.py:413-441).  All views are blurred in ONE depthwise-conv
     pair over the concatenated batch (per-view randomness preserved: draws
-    are made per list element exactly as before, then concatenated)."""
+    are made per list element exactly as before, then concatenated).
+
+    ``impl``: None = auto (fused Pallas blur kernel on TPU, depthwise conv
+    elsewhere); "xla" forces the conv path; "pallas"/"pallas_interpret"
+    force the kernel — callers thread their color_impl choice here so an
+    explicit --color_impl=xla A/B really runs the XLA blur on TPU."""
     sigmas, selectors, sizes = [], [], []
     for i, images in enumerate(images_list):
         k_sigma, k_sel = jax.random.split(jax.random.fold_in(key, i))
@@ -450,7 +456,9 @@ def batch_random_blur(images_list, key, height, width, blur_probability=0.5):
     stacked = jnp.concatenate(images_list, axis=0)
     sig = jnp.concatenate(sigmas)
     sel = jnp.concatenate(selectors, axis=0)
-    if jax.default_backend() == "tpu":
+    if impl is None:
+        impl = "pallas" if jax.default_backend() == "tpu" else "xla"
+    if impl != "xla":
         # Blur-only invocation of the fused color-pipeline kernel (taps +
         # selector + clip in one VMEM pass per image); also far closer to
         # the f64 oracle than the conv path, whose MXU multiplies round to
@@ -464,7 +472,7 @@ def batch_random_blur(images_list, key, height, width, blur_probability=0.5):
             jnp.stack([jnp.zeros((n,), jnp.int32), jnp.zeros((n,), jnp.int32),
                        sel.reshape(-1).astype(jnp.int32)], axis=1),
             sig, brightness=0.0, contrast=0.0, saturation=0.0, hue=0.0,
-            kernel_size=height // 10)
+            kernel_size=height // 10, interpret=(impl == "pallas_interpret"))
     else:
         blurred = gaussian_blur(stacked, sig, kernel_size=height // 10)
         out_all = jnp.clip(jnp.where(sel, blurred, stacked), 0.0, 1.0)
@@ -588,11 +596,19 @@ def preprocess_for_train(
             params = crop_params(images, k_crop, height, width,
                                  valid_hw=valid_hw, flips=flips)
             zeros_i = jnp.zeros((b, 4), jnp.int32)
+            # uint8 canvases enter the kernel raw (the /255 happens in
+            # VMEM), but the OUTPUT must be floating: inferring out_dtype
+            # from an integer canvas would cast the bicubic weights to
+            # uint8 and return garbage.
+            out_dtype = dtype
+            if out_dtype is None and not jnp.issubdtype(images.dtype,
+                                                        jnp.floating):
+                out_dtype = jnp.float32
             images = fused_crop_color_pipeline(
                 images, params, zeros_i, jnp.zeros((b, 4), jnp.float32),
                 jnp.zeros((b, 3), jnp.int32), jnp.zeros((b,), jnp.float32),
                 out_hw=(height, width), brightness=0.0, contrast=0.0,
-                saturation=0.0, hue=0.0, kernel_size=0,
+                saturation=0.0, hue=0.0, kernel_size=0, out_dtype=out_dtype,
                 interpret=(color_impl == "pallas_interpret"))
         else:
             images = random_crop_with_resize(images, k_crop, height, width,
@@ -646,15 +662,31 @@ def _jitter_draws(key, b):
     return jitter_gate, perm, u, gray_gate
 
 
+def identity_flip_params(b, width, flips):
+    """Crop params for an identity resample (+folded horizontal flip) —
+    used when the crop was already taken on host at original resolution
+    (full-fidelity path, reference data_util.py:252-325) and the fused
+    kernel only needs to flip/jitter/blur."""
+    sy = jnp.ones((b,), jnp.float32)
+    sx = jnp.where(flips, -1.0, 1.0).astype(jnp.float32)
+    ty = jnp.zeros((b,), jnp.float32)
+    tx = jnp.where(flips, jnp.float32(width), 0.0).astype(jnp.float32)
+    return jnp.stack([sy, sx, ty, tx], axis=1)
+
+
 def _two_view_fused_color(canvas, crop_params, keys_jitter, k_blur, height,
                           width, strength, use_blur, impl,
-                          out_dtype=None, interpret=False):
+                          out_dtype=None, interpret=False, n_per_view=None):
     """Crop(+flip)+jitter+grayscale+blur for both views in one Pallas pass
     (ops/color_pipeline_pallas.py): per-view bicubic sampling matrices are
-    built in-kernel from the box params, everything else stays in VMEM."""
+    built in-kernel from the box params, everything else stays in VMEM.
+
+    ``n_per_view``: images per view for the randomness tables — defaults to
+    canvas.shape[0] (each view crops the same canvas); the host-cropped
+    path stacks 2B distinct per-view sources as the canvas and passes B."""
     from simclr_tpu.ops.color_pipeline_pallas import fused_crop_color_pipeline
 
-    b = canvas.shape[0]
+    b = n_per_view if n_per_view is not None else canvas.shape[0]
     draws = [_jitter_draws(k, b) for k in keys_jitter]
     jit_gate = jnp.concatenate([d[0] for d in draws])
     perm = jnp.concatenate([d[1] for d in draws])
@@ -685,7 +717,7 @@ def _two_view_fused_color(canvas, crop_params, keys_jitter, k_blur, height,
 def two_view_pretrain_batch(
     images, key, height, width, color_jitter_strength=1.0,
     use_blur=True, impl="simclrv2", dtype=None, valid_hw=None,
-    color_impl=None,
+    color_impl=None, host_cropped=False,
 ):
     """Generate the two augmented views for pretraining, fully on device.
 
@@ -698,10 +730,57 @@ def two_view_pretrain_batch(
     elsewhere), or explicitly "xla" / "pallas" / "pallas_interpret".
     Both paths draw identical randomness; the fused path computes in f32
     (like the reference's host CPU math) where XLA uses ``dtype``.
+
+    ``host_cropped``: images is (B, 2, H, W, 3) — per-view distorted crops
+    already taken on host at ORIGINAL source resolution (full pixel
+    fidelity for large photos, data_util.py:252-325; loader
+    make_train_crop_fn).  The device stage then applies flip + color +
+    blur only, with the SAME key splits as the device-crop path (k_crop
+    is split and discarded), so the two architectures draw identical
+    flips/jitters/blurs for a given key.
     """
     k1, k2, k_blur = jax.random.split(key, 3)
     if color_impl is None:
         color_impl = "pallas" if jax.default_backend() == "tpu" else "xla"
+    if host_cropped:
+        assert images.ndim == 5 and images.shape[1] == 2, images.shape
+        b = images.shape[0]
+        # (B, 2, H, W, 3) -> views stacked a-then-b on the batch axis.
+        crops = jnp.concatenate([images[:, 0], images[:, 1]], axis=0)
+        flips, keys_jitter = [], []
+        for k in (k1, k2):
+            k_crop, k_flip, k_jitter = jax.random.split(k, 3)
+            del k_crop  # host sampled the box; keep the split contract
+            flips.append(jax.random.bernoulli(
+                k_flip, 0.5, (b, 1, 1, 1)).reshape(-1))
+            keys_jitter.append(k_jitter)
+        if color_impl != "xla" and color_jitter_strength > 0:
+            params = identity_flip_params(2 * b, width,
+                                          jnp.concatenate(flips))
+            if crops.dtype != jnp.uint8 and dtype is not None:
+                crops = crops.astype(dtype)
+            return _two_view_fused_color(
+                crops, params, keys_jitter, k_blur, height, width,
+                color_jitter_strength, use_blur, impl,
+                out_dtype=dtype or jnp.float32, n_per_view=b,
+                interpret=(color_impl == "pallas_interpret"))
+        if crops.dtype == jnp.uint8:
+            crops = crops.astype(jnp.float32) / 255.0
+        views = []
+        for i, (fl, k_jitter) in enumerate(zip(flips, keys_jitter)):
+            v = crops[i * b:(i + 1) * b]
+            if dtype is not None:
+                v = v.astype(dtype)
+            v = jnp.where(fl[:, None, None, None], v[:, :, ::-1, :], v)
+            if color_jitter_strength > 0:
+                v = random_color_jitter(v, k_jitter,
+                                        strength=color_jitter_strength,
+                                        impl=impl)
+            views.append(jnp.clip(v, 0.0, 1.0))
+        if use_blur:
+            views = batch_random_blur(views, k_blur, height, width,
+                                      impl=color_impl)
+        return jnp.concatenate(views, axis=0)
     if color_impl != "xla" and color_jitter_strength > 0:
         b = images.shape[0]
         # uint8 canvases enter the kernel raw: the /255 conversion happens
@@ -734,5 +813,6 @@ def two_view_pretrain_batch(
     view_b = preprocess_for_train(images, k2, height, width, color_jitter_strength,
                                   impl=impl, dtype=dtype, valid_hw=valid_hw)
     if use_blur:
-        view_a, view_b = batch_random_blur([view_a, view_b], k_blur, height, width)
+        view_a, view_b = batch_random_blur([view_a, view_b], k_blur, height,
+                                           width, impl=color_impl)
     return jnp.concatenate([view_a, view_b], axis=0)

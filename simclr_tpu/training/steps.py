@@ -41,6 +41,27 @@ def topk_accuracy_sums(logits, labels_idx, mask, ks=(1, 5)):
     return out
 
 
+# Reserved metrics key carrying a small slice of the actual AUGMENTED
+# training inputs out of the step for TensorBoard image summaries
+# (tf2/run.py:572-576 logs the first augmented view; VERDICT r2 #5).  The
+# trainer pops it before scalar logging; make_multi_step carries the last
+# step's value instead of averaging.
+VIEW_SUMMARY_KEY = "summary/augmented_views"
+_VIEW_SUMMARY_N = 3
+
+
+def _view_summary(images, pretrain: bool):
+    """First few augmented inputs, both views when pretraining: rows
+    [0, n) are view a and, stacked after them, rows [B, B+n) view b."""
+    n = min(_VIEW_SUMMARY_N, images.shape[0] // (2 if pretrain else 1))
+    view = images[:n]
+    if pretrain:
+        b = images.shape[0] // 2
+        view = jnp.concatenate(
+            [view, jax.lax.dynamic_slice_in_dim(images, b, n, 0)], axis=0)
+    return jnp.clip(view.astype(jnp.float32), 0.0, 1.0)
+
+
 def _resolve_fused(config: Config) -> bool:
     """Tri-state --use_fused_ntxent -> bool.  The trainer passes a resolved
     bool; direct step-builder callers (bench, tests, __graft_entry__) may
@@ -54,7 +75,10 @@ def _resolve_fused(config: Config) -> bool:
 
 
 def make_train_step(config: Config, model, tx: optax.GradientTransformation,
-                    lr_fn: Callable, mesh=None) -> Callable:
+                    lr_fn: Callable, mesh=None,
+                    pre_augmented: bool = False,
+                    host_cropped: bool = False,
+                    color_impl: str = None) -> Callable:
     """Build the jittable train step: (state, batch, base_rng) -> (state, metrics).
 
     batch: {'image': uint8 (B, H0, W0, 3) global, 'label': int32 (B,)}.
@@ -64,6 +88,19 @@ def make_train_step(config: Config, model, tx: optax.GradientTransformation,
     mesh's batch axes (the GSPMD partitioner cannot shard the Pallas
     kernel); everything else is partitioner-propagated from the batch
     sharding.  ``mesh=None`` keeps single-shard fused semantics.
+
+    ``pre_augmented``: --device_augment=false — the loader already ran the
+    augmentation on host (data/host_augment.py); batch['image'] is the
+    float (2B views / B, H, W, 3) model input and the step applies none.
+
+    ``host_cropped``: the loader sampled + resampled the distorted crops at
+    original source resolution (--host_crop_full_res, full pixel fidelity);
+    batch['image'] is (B, 2, H, W, 3) pretrain / (B, H, W, 3) finetune and
+    the device stage applies flip/color/blur only.
+
+    ``color_impl``: force the augmentation backend (None = auto: fused
+    Pallas on TPU, XLA elsewhere; "xla" | "pallas") — bench.py step-level
+    A/Bs thread this down so the toggle is honest on TPU.
     """
     pretrain = config.train_mode == "pretrain"
     h = w = config.image_size
@@ -78,27 +115,35 @@ def make_train_step(config: Config, model, tx: optax.GradientTransformation,
 
         aug_dtype = jnp.bfloat16 if config.compute_dtype == "bfloat16" else None
         valid_hw = batch.get("valid_hw")  # letterboxed canvas valid region
-        if not (pretrain and images.dtype == jnp.uint8):
-            # Pretrain uint8 canvases go to two_view raw — the fused Pallas
+        if pre_augmented:
+            images = images.astype(jnp.float32)
+            sup_label_idx = (jnp.concatenate([labels, labels], axis=0)
+                             if pretrain else labels)
+        elif pretrain:
+            if images.dtype != jnp.uint8:
+                images = images.astype(jnp.float32) / 255.0
+            # Two augmented views, on device (tf2/data.py:52-62 + model
+            # blur); uint8 canvases go to two_view raw — the fused Pallas
             # path converts /255 per plane in VMEM, never materializing a
             # float canvas in HBM (the XLA path converts inside two_view).
-            images = images.astype(jnp.float32) / 255.0
-        if pretrain:
-            # Two augmented views, on device (tf2/data.py:52-62 + model blur).
             images = augment.two_view_pretrain_batch(
                 images, k_aug, h, w,
                 color_jitter_strength=config.color_jitter_strength,
                 use_blur=config.use_blur, dtype=aug_dtype, valid_hw=valid_hw,
+                host_cropped=host_cropped, color_impl=color_impl,
             )
             # Supervised head sees both views: labels doubled
             # (tf2/run.py:596-601).
             sup_label_idx = jnp.concatenate([labels, labels], axis=0)
         else:
+            images = images.astype(jnp.float32) / 255.0
             # Finetune: single view, crop+flip but no color jitter
-            # (tf2/data.py:101-115: jitter strength 0 for finetune).
+            # (tf2/data.py:101-115: jitter strength 0 for finetune);
+            # host-cropped batches skip the crop (already full-fidelity).
             images = augment.preprocess_for_train(
                 images, k_aug, h, w, color_jitter_strength=0.0,
-                valid_hw=valid_hw,
+                valid_hw=valid_hw, crop=not host_cropped,
+                color_impl=color_impl,
             )
             sup_label_idx = labels
 
@@ -147,6 +192,7 @@ def make_train_step(config: Config, model, tx: optax.GradientTransformation,
         updates, new_opt_state = tx.update(grads, state.opt_state, state.params)
         new_params = optax.apply_updates(state.params, updates)
         metrics["learning_rate"] = lr_fn(state.step)
+        metrics[VIEW_SUMMARY_KEY] = _view_summary(images, pretrain)
 
         new_state = state.replace(
             step=state.step + 1,
@@ -160,7 +206,8 @@ def make_train_step(config: Config, model, tx: optax.GradientTransformation,
 
 
 def make_shard_map_train_step(config: Config, model, tx: optax.GradientTransformation,
-                              lr_fn: Callable, mesh) -> Callable:
+                              lr_fn: Callable, mesh,
+                              host_cropped: bool = False) -> Callable:
     """Explicit-SPMD train step via jax.shard_map over the mesh 'data' axis.
 
     The alternative to the GSPMD path: per-replica code with explicit
@@ -197,11 +244,13 @@ def make_shard_map_train_step(config: Config, model, tx: optax.GradientTransform
                 images, k_aug, h, w,
                 color_jitter_strength=config.color_jitter_strength,
                 use_blur=config.use_blur, dtype=aug_dtype, valid_hw=valid_hw,
+                host_cropped=host_cropped,
             )
             sup_label_idx = jnp.concatenate([labels, labels], axis=0)
         else:
             images = augment.preprocess_for_train(images, k_aug, h, w, 0.0,
-                                                  valid_hw=valid_hw)
+                                                  valid_hw=valid_hw,
+                                                  crop=not host_cropped)
             sup_label_idx = labels
 
         def loss_fn(params):
@@ -248,6 +297,11 @@ def make_shard_map_train_step(config: Config, model, tx: optax.GradientTransform
         # (with --global_bn the stats are already equal; pmean is a no-op).
         new_batch_stats = jax.lax.pmean(new_batch_stats, "data")
         metrics = jax.lax.pmean(metrics, "data")
+        # Augmented-view summary must bypass the metric pmean: take replica
+        # 0's slice and replicate it (zero elsewhere + psum).
+        view = _view_summary(images, pretrain)
+        view = jnp.where(jax.lax.axis_index("data") == 0, view, 0.0)
+        metrics[VIEW_SUMMARY_KEY] = jax.lax.psum(view, "data")
 
         updates, new_opt_state = tx.update(grads, state.opt_state, state.params)
         new_params = optax.apply_updates(state.params, updates)
@@ -281,14 +335,27 @@ def make_multi_step(train_step: Callable, steps: int) -> Callable:
     """
 
     def multi_step(state, batches, base_rng):
-        def body(st, batch):
-            st, metrics = train_step(st, batch, base_rng)
-            return st, metrics
+        # Non-scalar metrics (the augmented-view image summary) are carried
+        # through the scan — last step's value — instead of being stacked
+        # over all ``steps`` iterations and averaged (stacking spl x views
+        # would stage tens of MB per loop for a summary image).
+        first = jax.tree.map(lambda x: x[0], batches)
+        _, m_shapes = jax.eval_shape(train_step, state, first, base_rng)
+        img_keys = tuple(sorted(k for k, v in m_shapes.items() if v.ndim > 0))
+        init_imgs = {k: jnp.zeros(m_shapes[k].shape, m_shapes[k].dtype)
+                     for k in img_keys}
 
-        state, metrics_seq = jax.lax.scan(body, state, batches)
+        def body(carry, batch):
+            st, _ = carry
+            st, metrics = train_step(st, batch, base_rng)
+            imgs = {k: metrics.pop(k) for k in img_keys}
+            return (st, imgs), metrics
+
+        (state, imgs), metrics_seq = jax.lax.scan(body, (state, init_imgs), batches)
         out = jax.tree.map(lambda x: jnp.mean(x, axis=0), metrics_seq)
         if "learning_rate" in out:
             out["learning_rate"] = metrics_seq["learning_rate"][-1]
+        out.update(imgs)
         return state, out
 
     return multi_step

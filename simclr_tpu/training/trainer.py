@@ -30,6 +30,7 @@ from simclr_tpu.parallel import mesh as mesh_lib
 from simclr_tpu.training import checkpoint as ckpt_lib
 from simclr_tpu.training.metrics import MetricLogger, Throughput, write_result_json
 from simclr_tpu.training.state import TrainState
+from simclr_tpu.training import steps as steps_lib
 from simclr_tpu.training.steps import make_eval_step, make_multi_step, make_train_step
 
 log = logging.getLogger("simclr_tpu")
@@ -120,6 +121,21 @@ def train(config: Config) -> TrainState:
     manager = ckpt_lib.create_manager(config.model_dir, config.keep_checkpoint_max)
     state = ckpt_lib.try_restore_or_warm_start(config, state, manager)
 
+    host_augment = not config.device_augment
+    if host_augment:
+        # --device_augment=false: the reference's architecture — augment on
+        # host CPU (inside the prefetch thread), feed pre-augmented views
+        # (data/host_augment.py); the step skips its augmentation stage.
+        if config.use_shard_map:
+            raise ValueError(
+                "--device_augment=false is not supported with "
+                "--use_shard_map: the shard_map step shards raw canvases "
+                "per replica, not pre-augmented view halves")
+        from simclr_tpu.data.host_augment import HostAugmentPipeline
+
+        ds = HostAugmentPipeline(ds, config, jax.random.PRNGKey(config.seed + 1),
+                                 host_cropped=info.train_host_cropped)
+
     mask = trainable_mask(config, state.params)
     masked_tx = masked(tx, mask)
     # Steps are built against the resolved bool; config (and flags.json)
@@ -128,9 +144,13 @@ def train(config: Config) -> TrainState:
     if config.use_shard_map:
         from simclr_tpu.training.steps import make_shard_map_train_step
 
-        train_step = make_shard_map_train_step(step_config, model, masked_tx, lr_fn, mesh)
+        train_step = make_shard_map_train_step(
+            step_config, model, masked_tx, lr_fn, mesh,
+            host_cropped=info.train_host_cropped)
     else:
-        train_step = make_train_step(step_config, model, masked_tx, lr_fn, mesh=mesh)
+        train_step = make_train_step(step_config, model, masked_tx, lr_fn,
+                                     mesh=mesh, pre_augmented=host_augment,
+                                     host_cropped=info.train_host_cropped)
     step_fn = jax.jit(train_step, donate_argnums=(0,))
 
     total_steps = get_train_steps(config, info.num_train_examples)
@@ -141,7 +161,17 @@ def train(config: Config) -> TrainState:
     # amortizes host round-trips; summaries/checkpoints land on loop
     # boundaries like the reference's.
     canvas = info.image_shape
-    batch_bytes = config.train_batch_size * int(np.prod(canvas)) + 4 * config.train_batch_size
+    views = 2 if config.train_mode == "pretrain" else 1
+    if host_augment:
+        # Pre-augmented float32 views: 2 views x image_size^2 x 3 x 4B.
+        batch_bytes = (config.train_batch_size * views
+                       * config.image_size * config.image_size * 3 * 4
+                       + 4 * config.train_batch_size)
+    else:
+        # Host-cropped batches carry one uint8 canvas PER VIEW.
+        views_in = views if info.train_host_cropped else 1
+        batch_bytes = (config.train_batch_size * views_in * int(np.prod(canvas))
+                       + 4 * config.train_batch_size)
     spl = choose_steps_per_loop(config, total_steps, checkpoint_steps, batch_bytes)
     multi_fn = (jax.jit(make_multi_step(train_step, spl), donate_argnums=(0,))
                 if spl > 1 else None)
@@ -176,13 +206,20 @@ def train(config: Config) -> TrainState:
             state, metrics = step_fn(state, batch, base_rng)
             last_images = raw["image"]
             done = 1
+        metrics = dict(metrics)
+        aug_views = metrics.pop(steps_lib.VIEW_SUMMARY_KEY, None)
         cur_step += done
         ips = throughput.update(config.train_batch_size * done)
         if cur_step % config.train_summary_steps < done or cur_step >= total_steps:
             fetched = logger.log(cur_step, metrics)
             if ips:
                 logger.log(cur_step, {"train/images_per_sec": ips})
-            # Image summary of the current inputs (tf2/run.py:572-576).
+            # Image summaries (tf2/run.py:572-576): the reference logs the
+            # first AUGMENTED view — that comes out of the jitted step as a
+            # small slice of the actual model inputs; the raw host canvas is
+            # logged alongside for before/after debugging.
+            if aug_views is not None:
+                logger.log_images(cur_step, aug_views, tag="augmented_views")
             logger.log_images(cur_step, last_images)
             log.info("step %d/%d loss=%.4f ips=%s", cur_step, total_steps,
                      fetched.get("train/total_loss", float("nan")),
@@ -222,14 +259,24 @@ def evaluate(config: Config, state: Optional[TrainState] = None,
     for batch in ds:
         # Mask out padded rows of the final batch (TF1 pad_to_batch parity,
         # data.py:31-100).
-        remaining = target - num_seen
         bs_local = len(batch["label"])
         bs_global = bs_local * jax.process_count()
-        # Multi-process: this host holds a contiguous slice of the global
-        # batch, so its rows' *global* indices decide the padding mask.
-        offset = jax.process_index() * bs_local
-        mask = ((offset + np.arange(bs_local)) < remaining).astype(np.float32)
-        batch = dict(batch, mask=mask)
+        if "index" in batch:
+            # Exact path: loaders tag every row with its GLOBAL example
+            # index (pad/filler rows carry num_examples), so the mask is
+            # exact under any sharding pattern — contiguous slices,
+            # tf.data round-robin shards, and ragged final shards alike.
+            mask = (batch["index"] < target).astype(np.float32)
+            batch = {k: v for k, v in batch.items() if k != "index"}
+            batch = dict(batch, mask=mask)
+            remaining = target - num_seen  # round accounting only
+        else:
+            remaining = target - num_seen
+            # Contiguous-slice sources: this host's rows' global indices
+            # are offset + arange.
+            offset = jax.process_index() * bs_local
+            mask = ((offset + np.arange(bs_local)) < remaining).astype(np.float32)
+            batch = dict(batch, mask=mask)
         out = jax.device_get(eval_step(state, _put_batch(batch, mesh)))
         for k, v in out.items():
             sums[k] = sums.get(k, 0.0) + float(v)
@@ -255,6 +302,16 @@ def evaluate(config: Config, state: Optional[TrainState] = None,
         result["eval/contrast_loss"] = sums.get("eval/contrast_loss_sum", 0.0) / ccount
     step = int(jax.device_get(state.step))
     write_result_json(config.model_dir, result, step)
+    # Eval summaries live under model_dir/eval[_<eval_name>] — the TF
+    # estimator namespaces eval summary folders by evaluate(name=...)
+    # (run.py:326-327), which is how parallel evals (e.g. different splits)
+    # keep separate TensorBoard curves.
+    eval_dir = os.path.join(
+        config.model_dir,
+        "eval" + (f"_{config.eval_name}" if config.eval_name else ""))
+    eval_logger = MetricLogger(eval_dir)
+    eval_logger.log(step, result)
+    eval_logger.close()
     config.save(config.model_dir)
     # Export the serving bundle at eval time like the reference
     # (run.py:354-360 hub export inside perform_evaluation).

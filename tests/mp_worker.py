@@ -56,6 +56,22 @@ def main():
     result = trainer.evaluate(config, state=state)
     print(f"EVALTOP1 {result['eval/label_top_1_accuracy']:.8f}", flush=True)
 
+    # Ragged exact eval (VERDICT r2 #5): 11 eval examples over global batch
+    # 8 -> final batch is 3 real rows + 5 pads, and the per-row global
+    # INDEX masks must attribute them exactly.  Evaluated from the
+    # deterministic seed-derived init state (identical on every process
+    # and in the parent's single-process run), so the metric must match
+    # the single-process value BITWISE.
+    rng = np.random.RandomState(123)
+    npz = f"{model_dir}_data_p{pid}.npz"
+    np.savez(npz,
+             images=rng.randint(0, 256, (110, 32, 32, 3), np.uint8),
+             labels=rng.randint(0, 10, (110,)).astype(np.int64))
+    cfg2 = config.replace(dataset=f"npz:{npz}",
+                          model_dir=model_dir + f"_ragged{pid}")
+    result2 = trainer.evaluate(cfg2)
+    print(f"RAGGEDTOP1 {result2['eval/label_top_1_accuracy']:.8f}", flush=True)
+
 
 if __name__ == "__main__":
     main()

@@ -79,7 +79,10 @@ def test_shard_map_step_fused_ntxent_matches_dense(monkeypatch):
         mesh, model, tx, lr_fn, state, batch = _common(config)
         step = jax.jit(make_shard_map_train_step(config, model, tx, lr_fn, mesh))
         new_state, metrics = step(state, batch, jax.random.PRNGKey(0))
-        results[fused] = (new_state, {k: float(v) for k, v in metrics.items()})
+        # Scalars only: the step also returns the augmented-view image
+        # summary (steps.VIEW_SUMMARY_KEY), which the trainer pops.
+        results[fused] = (new_state, {k: float(v) for k, v in metrics.items()
+                                      if np.asarray(v).ndim == 0})
     m_dense, m_fused = results[False][1], results[True][1]
     for key in ("train/contrast_loss", "train/contrast_acc",
                 "train/contrast_entropy", "train/total_loss"):
