@@ -7,8 +7,17 @@ forward/backward + NT-Xent + LARS — at the reference's per-chip batch
 Baseline: TF2 reference, R50 batch-4096 pretrain on TPU v3 = 100 epochs of
 ImageNet (1.28M images) in ~6 h on 32 cores ≈ 185 images/sec/chip
 (README.md:109).  Prints one JSON line with vs_baseline against that.
+
+Extra modes (off the driver's default path, which runs bare = pretrain):
+  --train_mode=finetune   single-view crop+flip step (README.md:116-167
+                          recipe shape); vs_baseline still against the 185
+                          pretrain number (the reference publishes no
+                          finetune img/s — same chip, same model, fewer
+                          aug FLOPs, so >= pretrain is expected).
+  --color_impl=xla|pallas step-level A/B of the augmentation backend.
 """
 
+import argparse
 import json
 import time
 
@@ -20,6 +29,14 @@ BASELINE_IMAGES_PER_SEC_PER_CHIP = 185.0  # TF2 reference on TPU v3 (README.md:1
 
 
 def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--train_mode", default="pretrain",
+                    choices=["pretrain", "finetune"])
+    ap.add_argument("--color_impl", default=None, choices=["xla", "pallas"],
+                    help="Force the augmentation backend (default: auto = "
+                         "fused Pallas on TPU) for step-level A/Bs.")
+    ap.add_argument("--steps", type=int, default=40)
+    args = ap.parse_args()
     from simclr_tpu.config import Config
     from simclr_tpu.optim.builder import masked, trainable_mask
     from simclr_tpu.parallel import mesh as mesh_lib
@@ -30,6 +47,7 @@ def main():
     per_chip_batch = 128
     batch = per_chip_batch * n_chips
 
+    pretrain = args.train_mode == "pretrain"
     config = Config(
         dataset="synthetic",
         num_images_default=1281167,
@@ -40,15 +58,16 @@ def main():
         optimizer="lars",
         learning_rate=0.3,
         compute_dtype="bfloat16",
-        use_blur=True,
-        color_jitter_strength=1.0,
-        train_mode="pretrain",
+        use_blur=pretrain,
+        color_jitter_strength=1.0 if pretrain else 0.0,
+        train_mode=args.train_mode,
     )
     mesh = mesh_lib.create_mesh(config)
     model, tx, lr_fn = trainer.build_model_and_optimizer(config, 1281167, 1000)
     state = trainer.init_state(config, model, tx, mesh, (256, 256, 3))
     mask = trainable_mask(config, state.params)
-    train_step = make_train_step(config, model, masked(tx, mask), lr_fn)
+    train_step = make_train_step(config, model, masked(tx, mask), lr_fn,
+                                 color_impl=args.color_impl)
 
     # Device-side scan of `steps` train steps (the trainer's steps_per_loop
     # path): one dispatch, one host fetch.  The loss is fetched to the host,
@@ -56,7 +75,7 @@ def main():
     # on runtimes where block_until_ready under-synchronizes.
     # 40 steps/dispatch: the ~30 ms tunnel fetch floor amortizes to <1 ms/step
     # (real training runs steps_per_loop-sized device loops the same way).
-    steps = 40
+    steps = args.steps
     from simclr_tpu.training.steps import make_multi_step
 
     multi = jax.jit(make_multi_step(train_step, steps), donate_argnums=(0,))
@@ -87,7 +106,7 @@ def main():
     images_per_sec = steps * batch / dt
     per_chip = images_per_sec / n_chips
     print(json.dumps({
-        "metric": "resnet50_pretrain_images_per_sec_per_chip",
+        "metric": f"resnet50_{args.train_mode}_images_per_sec_per_chip",
         "value": round(per_chip, 2),
         "unit": "images/sec/chip",
         "vs_baseline": round(per_chip / BASELINE_IMAGES_PER_SEC_PER_CHIP, 3),
