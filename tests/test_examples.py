@@ -74,3 +74,23 @@ def test_randbits_example():
     r = _run("randbits_experiment.py", "--extra_channel_bits", "2",
              "--steps", "3", "--batch_size", "16")
     assert r.returncode == 0, r.stdout + r.stderr
+
+
+@pytest.mark.slow
+def test_real_data_acceptance_dry_run(tmp_path):
+    """The unattended real-data acceptance runner (VERDICT r2 #10) executes
+    its full two-phase recipe — pretrain -> linear-eval warm-start -> eval
+    bar check — on the synthetic dry-run path, writing acceptance.json.
+    --bar 0.0 makes this a plumbing assertion, not a learning one (the
+    tiny dry run's accuracy is covered by tools/tpu_acceptance.py)."""
+    env = dict(os.environ, PYTHONPATH=_REPO)
+    r = subprocess.run(
+        [sys.executable, os.path.join(_REPO, "tools", "real_data_acceptance.py"),
+         "--dry_run", "--bar", "0.0", "--model_dir", str(tmp_path / "acc")],
+        capture_output=True, text=True, timeout=900, env=env, cwd=_REPO)
+    assert r.returncode == 0, r.stdout[-3000:] + r.stderr[-3000:]
+    assert "PASS" in r.stdout, r.stdout
+    import json as _json
+
+    verdict = _json.loads(open(tmp_path / "acc" / "acceptance.json").read())
+    assert verdict["recipe"] == "cifar10" and "top_1" in verdict
