@@ -26,6 +26,8 @@ class LinearLayer(nn.Module):
     bn_momentum: float = 0.9
     axis_name: Optional[str] = None
     fused_bn: Optional[bool] = None
+    stat_groups: int = 1
+    stat_views: int = 1
     dtype: Any = jnp.float32
 
     @nn.compact
@@ -44,6 +46,7 @@ class LinearLayer(nn.Module):
             x = BatchNormRelu(
                 relu=False, center=self.use_bias, momentum=self.bn_momentum,
                 axis_name=self.axis_name, use_fused=self.fused_bn,
+                stat_groups=self.stat_groups, stat_views=self.stat_views,
                 dtype=self.dtype, name="bn_relu",
             )(x, train)
         return x
@@ -63,12 +66,15 @@ class ProjectionHead(nn.Module):
     bn_momentum: float = 0.9
     axis_name: Optional[str] = None
     fused_bn: Optional[bool] = None
+    stat_groups: int = 1
+    stat_views: int = 1
     dtype: Any = jnp.float32
 
     @nn.compact
     def __call__(self, x, train: bool) -> Tuple[jnp.ndarray, List[jnp.ndarray]]:
         common = dict(bn_momentum=self.bn_momentum, axis_name=self.axis_name,
-                      fused_bn=self.fused_bn, dtype=self.dtype)
+                      fused_bn=self.fused_bn, stat_groups=self.stat_groups,
+                      stat_views=self.stat_views, dtype=self.dtype)
         if self.proj_head_mode == "none":
             return x, [x]
         hiddens_list = [x]

@@ -46,6 +46,10 @@ class SimCLRModel(nn.Module):
     lineareval_while_pretraining: bool = True
     remat_until_block: int = 0
     axis_name: Optional[str] = None
+    # Ghost batch norm for --global_bn=False under GSPMD (reference
+    # resnet.py:73-85 per-replica statistics): group count = number of data
+    # shards, views-major row layout.  1 = global statistics.
+    bn_stat_groups: int = 1
     # Per-instance fused-VJP BN choice (None = process default); carried on
     # the model instead of global state so constructing a second model
     # (serving load, distill teacher/student) cannot flip the BN
@@ -54,12 +58,17 @@ class SimCLRModel(nn.Module):
     dtype: Any = jnp.float32
 
     @classmethod
-    def from_config(cls, config: Config, num_classes: int, axis_name: Optional[str] = None):
+    def from_config(cls, config: Config, num_classes: int,
+                    axis_name: Optional[str] = None, bn_stat_groups: int = 1):
         # axis_name reaches the BatchNorm layers: inside shard_map/pmap it
         # turns on cross-replica statistics (--global_bn). Under GSPMD
-        # (axis_name=None) statistics are global automatically.
+        # (axis_name=None) statistics are global automatically; with
+        # --global_bn=False the trainer passes bn_stat_groups = data-shard
+        # count and BN computes ghost (per-replica) statistics instead.
         if axis_name is not None and not config.global_bn:
             axis_name = None  # per-replica BN stats (reference global_bn=False)
+        if config.global_bn or axis_name is not None:
+            bn_stat_groups = 1
         return cls(
             num_classes=num_classes,
             resnet_depth=config.resnet_depth,
@@ -77,12 +86,17 @@ class SimCLRModel(nn.Module):
             lineareval_while_pretraining=config.lineareval_while_pretraining,
             remat_until_block=config.remat_until_block,
             axis_name=axis_name,
+            bn_stat_groups=bn_stat_groups,
             fused_bn=config.fused_bn,
             dtype=jnp.bfloat16 if config.compute_dtype == "bfloat16" else jnp.float32,
         )
 
     @nn.compact
     def __call__(self, images, train: bool, return_endpoints: bool = False):
+        # Ghost-BN row layout: pretrain stacks two views views-major on the
+        # batch axis, so a data shard's rows are (its chunk of view0, its
+        # chunk of view1) — stat_views tells BN how to regroup them.
+        stat_views = 2 if self.train_mode == "pretrain" else 1
         features, endpoints = ResNet(
             resnet_depth=self.resnet_depth,
             width_multiplier=self.width_multiplier,
@@ -91,6 +105,8 @@ class SimCLRModel(nn.Module):
             se_ratio=self.se_ratio,
             bn_momentum=self.bn_momentum,
             axis_name=self.axis_name,
+            stat_groups=self.bn_stat_groups,
+            stat_views=stat_views,
             train_mode=self.train_mode,
             fine_tune_after_block=self.fine_tune_after_block,
             remat_until_block=self.remat_until_block,
@@ -105,6 +121,8 @@ class SimCLRModel(nn.Module):
             num_proj_layers=self.num_proj_layers,
             bn_momentum=self.bn_momentum,
             axis_name=self.axis_name,
+            stat_groups=self.bn_stat_groups,
+            stat_views=stat_views,
             fused_bn=self.fused_bn,
             dtype=self.dtype,
             name="projection_head",

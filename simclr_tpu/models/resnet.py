@@ -65,6 +65,13 @@ class BatchNormRelu(nn.Module):
     # down from SimCLRModel.from_config so each model instance carries its
     # own choice instead of flipping global state (ADVICE r2).
     use_fused: Optional[bool] = None
+    # Ghost batch norm for --global_bn=False under GSPMD: per-data-shard
+    # statistics without shard_map (reference resnet.py:73-85 local-stats
+    # semantics).  Rows are views-major; group g = shard-g chunk of every
+    # view half.  Only the fused implementation supports it (numerically
+    # interchangeable with flax BN, tested), so stat_groups > 1 forces it.
+    stat_groups: int = 1
+    stat_views: int = 1
     dtype: Any = jnp.float32
 
     @nn.compact
@@ -72,6 +79,8 @@ class BatchNormRelu(nn.Module):
         scale_init = nn.initializers.zeros if self.init_zero else nn.initializers.ones
         use_fused = (self.use_fused if self.use_fused is not None
                      else fused_bn.is_enabled())
+        if self.stat_groups > 1:
+            use_fused = True
         if use_fused:
             # Fused-VJP batch norm: one reduction pass forward, one backward
             # (see ops/fused_bn.py — ~40% of the R50 step was BN reductions
@@ -85,6 +94,8 @@ class BatchNormRelu(nn.Module):
                 use_scale=self.scale,
                 scale_init=scale_init,
                 axis_name=self.axis_name,
+                stat_groups=self.stat_groups,
+                stat_views=self.stat_views,
                 dtype=self.dtype,
                 param_dtype=jnp.float32,
                 name="batch_norm",
@@ -248,13 +259,16 @@ class SKConv2D(nn.Module):
     bn_momentum: float = 0.9
     axis_name: Optional[str] = None
     fused_bn: Optional[bool] = None
+    stat_groups: int = 1
+    stat_views: int = 1
     dtype: Any = jnp.float32
 
     @nn.compact
     def __call__(self, x, train: bool):
         bn = functools.partial(
             BatchNormRelu, momentum=self.bn_momentum, axis_name=self.axis_name,
-            use_fused=self.fused_bn, dtype=self.dtype
+            use_fused=self.fused_bn, stat_groups=self.stat_groups,
+            stat_views=self.stat_views, dtype=self.dtype
         )
         x = Conv2dFixedPadding(2 * self.filters, 3, self.strides, dtype=self.dtype, name="conv2d_fixed_padding")(x)
         x = bn(name="batch_norm_relu")(x, train)
@@ -341,6 +355,8 @@ class ResidualBlock(nn.Module):
     bn_momentum: float = 0.9
     axis_name: Optional[str] = None
     fused_bn: Optional[bool] = None
+    stat_groups: int = 1
+    stat_views: int = 1
     dropblock_keep_prob: Optional[float] = None
     dropblock_size: Optional[int] = None
     dtype: Any = jnp.float32
@@ -349,7 +365,8 @@ class ResidualBlock(nn.Module):
     def __call__(self, x, train: bool):
         bn = functools.partial(
             BatchNormRelu, momentum=self.bn_momentum, axis_name=self.axis_name,
-            use_fused=self.fused_bn, dtype=self.dtype
+            use_fused=self.fused_bn, stat_groups=self.stat_groups,
+            stat_views=self.stat_views, dtype=self.dtype
         )
         shortcut = x
         if self.use_projection:
@@ -386,6 +403,8 @@ class BottleneckBlock(nn.Module):
     bn_momentum: float = 0.9
     axis_name: Optional[str] = None
     fused_bn: Optional[bool] = None
+    stat_groups: int = 1
+    stat_views: int = 1
     dropblock_keep_prob: Optional[float] = None
     dropblock_size: Optional[int] = None
     dtype: Any = jnp.float32
@@ -394,7 +413,8 @@ class BottleneckBlock(nn.Module):
     def __call__(self, x, train: bool):
         bn = functools.partial(
             BatchNormRelu, momentum=self.bn_momentum, axis_name=self.axis_name,
-            use_fused=self.fused_bn, dtype=self.dtype
+            use_fused=self.fused_bn, stat_groups=self.stat_groups,
+            stat_views=self.stat_views, dtype=self.dtype
         )
         dropblock = functools.partial(
             DropBlock, keep_prob=self.dropblock_keep_prob, dropblock_size=self.dropblock_size
@@ -422,7 +442,7 @@ class BottleneckBlock(nn.Module):
         if self.sk_ratio > 0:
             x = SKConv2D(self.filters, self.strides, self.sk_ratio,
                          bn_momentum=self.bn_momentum, axis_name=self.axis_name,
-                         fused_bn=self.fused_bn,
+                         fused_bn=self.fused_bn, stat_groups=self.stat_groups, stat_views=self.stat_views,
                          dtype=self.dtype, name="sk_conv2d")(x, train)
         else:
             x = Conv2dFixedPadding(self.filters, 3, self.strides, dtype=self.dtype, name="conv_1")(x)
@@ -450,6 +470,8 @@ class BlockGroup(nn.Module):
     bn_momentum: float = 0.9
     axis_name: Optional[str] = None
     fused_bn: Optional[bool] = None
+    stat_groups: int = 1
+    stat_views: int = 1
     dropblock_keep_prob: Optional[float] = None
     dropblock_size: Optional[int] = None
     dtype: Any = jnp.float32
@@ -460,7 +482,7 @@ class BlockGroup(nn.Module):
         common = dict(
             sk_ratio=self.sk_ratio, se_ratio=self.se_ratio,
             bn_momentum=self.bn_momentum, axis_name=self.axis_name,
-            fused_bn=self.fused_bn,
+            fused_bn=self.fused_bn, stat_groups=self.stat_groups, stat_views=self.stat_views,
             dropblock_keep_prob=self.dropblock_keep_prob,
             dropblock_size=self.dropblock_size, dtype=self.dtype,
         )
@@ -486,6 +508,8 @@ class ResNet(nn.Module):
     bn_momentum: float = 0.9
     axis_name: Optional[str] = None
     fused_bn: Optional[bool] = None
+    stat_groups: int = 1
+    stat_views: int = 1
     train_mode: str = "pretrain"
     fine_tune_after_block: int = -1
     dropblock_keep_probs: Optional[Sequence[Optional[float]]] = None
@@ -504,7 +528,8 @@ class ResNet(nn.Module):
         w = self.width_multiplier
         bn = functools.partial(
             BatchNormRelu, momentum=self.bn_momentum, axis_name=self.axis_name,
-            use_fused=self.fused_bn, dtype=self.dtype
+            use_fused=self.fused_bn, stat_groups=self.stat_groups,
+            stat_views=self.stat_views, dtype=self.dtype
         )
         endpoints = {}
 
@@ -564,7 +589,7 @@ class ResNet(nn.Module):
                 filters=group_filters[i], block_type=block_type, blocks=layers[i],
                 strides=group_strides[i], sk_ratio=self.sk_ratio, se_ratio=self.se_ratio,
                 bn_momentum=self.bn_momentum, axis_name=self.axis_name,
-                fused_bn=self.fused_bn,
+                fused_bn=self.fused_bn, stat_groups=self.stat_groups, stat_views=self.stat_views,
                 dropblock_keep_prob=keep_probs[i], dropblock_size=self.dropblock_size,
                 dtype=self.dtype, name=f"block_group{i + 1}",
             )(x, group_train)

@@ -67,20 +67,54 @@ def _psum_pair(a, b, axis_name):
     return stacked[0], stacked[1]
 
 
-@functools.partial(jax.custom_vjp, nondiff_argnums=(3, 4))
-def bn_train(x, scale, bias, eps: float, axis_name: Optional[str]):
+@functools.partial(jax.custom_vjp, nondiff_argnums=(3, 4, 5, 6))
+def bn_train(x, scale, bias, eps: float, axis_name: Optional[str],
+             stat_groups: int = 1, stat_views: int = 1):
     """Batch-normalize ``x`` over all axes but the last, training mode.
 
     Returns ``(y, mean, var)`` — mean/var are the float32 batch statistics
     for the running-average update.  Gradients flow through ``y`` only (the
     mean/var outputs feed non-differentiated state buffers; their cotangents
     are ignored in the backward pass).
+
+    ``stat_groups > 1`` is ghost batch norm for the GSPMD path (reference
+    ``--global_bn=False``, resnet.py:73-85 local-statistics semantics): rows
+    are laid out views-major (view0 rows then view1 rows, training/steps.py),
+    and replica ``g`` of ``stat_groups`` data shards owns chunk ``g`` of each
+    view half.  Statistics are computed per (chunk-of-view0 ∪ chunk-of-view1)
+    group — exactly the rows a reference replica would see locally — via
+    per-chunk partial sums combined across the tiny (views, groups, C) stats
+    array, so no activation data crosses shards; the returned mean/var are
+    the group average (the shard_map path's pmean-merge of moving averages).
     """
-    y, mean, var, _ = _bn_train_fwd_impl(x, scale, bias, eps, axis_name)
+    y, mean, var, _ = _bn_train_fwd_impl(x, scale, bias, eps, axis_name,
+                                         stat_groups, stat_views)
     return y, mean, var
 
 
-def _bn_train_fwd_impl(x, scale, bias, eps, axis_name):
+def _group_reshape(xf, stat_groups: int, stat_views: int):
+    n_rows = xf.shape[0]
+    chunk = n_rows // (stat_views * stat_groups)
+    xg = xf.reshape(stat_views, stat_groups, chunk, *xf.shape[1:])
+    red_axes = (0,) + tuple(range(2, xg.ndim - 1))  # all but group + channel
+    bshape = (1, stat_groups) + (1,) * (xg.ndim - 3) + (xf.shape[-1],)
+    n = (n_rows // stat_groups) * math.prod(xf.shape[1:-1])
+    return xg, red_axes, bshape, n
+
+
+def _bn_train_fwd_impl(x, scale, bias, eps, axis_name, stat_groups, stat_views):
+    if stat_groups > 1:
+        assert axis_name is None, "stat_groups is a GSPMD-path feature"
+        xg, red_axes, bshape, n = _group_reshape(
+            x.astype(jnp.float32), stat_groups, stat_views)
+        s = jnp.sum(xg, axis=red_axes)        # (groups, C)
+        q = jnp.sum(xg * xg, axis=red_axes)
+        mean = s / n
+        var = jnp.maximum(q / n - mean * mean, 0.0)
+        rstd = jax.lax.rsqrt(var + eps)
+        y = ((xg - mean.reshape(bshape)) * (rstd.reshape(bshape) * scale)
+             + bias).astype(x.dtype).reshape(x.shape)
+        return y, jnp.mean(mean, 0), jnp.mean(var, 0), (mean, rstd)
     xf = x.astype(jnp.float32)
     axes = tuple(range(x.ndim - 1))
     # math.prod keeps symbolic dims symbolic (jax2tf shape polymorphism);
@@ -96,17 +130,32 @@ def _bn_train_fwd_impl(x, scale, bias, eps, axis_name):
     var = jnp.maximum(q / n - mean * mean, 0.0)
     rstd = jax.lax.rsqrt(var + eps)
     y = ((xf - mean) * (rstd * scale) + bias).astype(x.dtype)
-    return y, mean, var, rstd
+    return y, mean, var, (mean, rstd)
 
 
-def _bn_train_vjp_fwd(x, scale, bias, eps, axis_name):
-    y, mean, var, rstd = _bn_train_fwd_impl(x, scale, bias, eps, axis_name)
-    return (y, mean, var), (x, mean, rstd, scale)
+def _bn_train_vjp_fwd(x, scale, bias, eps, axis_name, stat_groups, stat_views):
+    y, mean, var, (res_mean, rstd) = _bn_train_fwd_impl(
+        x, scale, bias, eps, axis_name, stat_groups, stat_views)
+    return (y, mean, var), (x, res_mean, rstd, scale)
 
 
-def _bn_train_vjp_bwd(eps, axis_name, res, cotangents):
+def _bn_train_vjp_bwd(eps, axis_name, stat_groups, stat_views, res, cotangents):
     dy, _, _ = cotangents  # mean/var feed non-diff running-stat buffers
     x, mean, rstd, scale = res
+    if stat_groups > 1:
+        xg, red_axes, bshape, n = _group_reshape(
+            x.astype(jnp.float32), stat_groups, stat_views)
+        dyg = dy.astype(jnp.float32).reshape(xg.shape)
+        mean_b, rstd_b = mean.reshape(bshape), rstd.reshape(bshape)
+        xhat = (xg - mean_b) * rstd_b
+        sd = jnp.sum(dyg, axis=red_axes)        # (groups, C)
+        sx = jnp.sum(dyg * xhat, axis=red_axes)
+        dbeta = jnp.sum(sd, 0)
+        dgamma = jnp.sum(sx, 0)
+        dx = ((rstd_b * scale) * (dyg - sd.reshape(bshape) / n
+                                  - xhat * (sx.reshape(bshape) / n)))
+        dx = dx.astype(x.dtype).reshape(x.shape)
+        return dx, dgamma.astype(scale.dtype), dbeta.astype(scale.dtype)
     xf = x.astype(jnp.float32)
     dyf = dy.astype(jnp.float32)
     axes = tuple(range(x.ndim - 1))
@@ -141,6 +190,10 @@ class FusedBatchNorm(nn.Module):
     use_scale: bool = True
     scale_init: Any = nn.initializers.ones
     axis_name: Optional[str] = None
+    # Ghost batch norm (GSPMD --global_bn=False): statistics per group of
+    # rows, views-major layout — see bn_train.  1 = plain global statistics.
+    stat_groups: int = 1
+    stat_views: int = 1
     dtype: Any = jnp.float32
     param_dtype: Any = jnp.float32
 
@@ -166,9 +219,13 @@ class FusedBatchNorm(nn.Module):
             y = ((x.astype(jnp.float32) - ra_mean.value) * (rstd * scale) + bias)
             return y.astype(self.dtype)
 
+        # Init traces use a tiny sample batch whose row count need not divide
+        # the group layout; statistics there are throwaway.
+        groups = 1 if self.is_initializing() else self.stat_groups
         y, mean, var = bn_train(x, scale.astype(jnp.float32),
                                 bias.astype(jnp.float32),
-                                self.epsilon, self.axis_name)
+                                self.epsilon, self.axis_name,
+                                groups, self.stat_views)
         if not self.is_initializing():
             m = self.momentum
             ra_mean.value = m * ra_mean.value + (1.0 - m) * mean

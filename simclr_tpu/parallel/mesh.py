@@ -107,6 +107,14 @@ def batch_sharding(mesh: Mesh) -> NamedSharding:
     return NamedSharding(mesh, P(batch_axes(mesh)))
 
 
+def num_batch_shards(mesh: Mesh) -> int:
+    """How many ways the batch dimension is sharded (= reference replica
+    count for per-replica BN statistics)."""
+    axes = batch_axes(mesh)
+    axes = axes if isinstance(axes, tuple) else (axes,)
+    return int(np.prod([mesh.shape[a] for a in axes]))
+
+
 def replicated_sharding(mesh: Mesh) -> NamedSharding:
     return NamedSharding(mesh, P())
 

@@ -36,9 +36,17 @@ from simclr_tpu.training.steps import make_eval_step, make_multi_step, make_trai
 log = logging.getLogger("simclr_tpu")
 
 
-def build_model_and_optimizer(config: Config, num_examples: int, num_classes: int):
+def build_model_and_optimizer(config: Config, num_examples: int, num_classes: int,
+                              mesh=None):
     axis_name = "data" if config.use_shard_map else None
-    model = SimCLRModel.from_config(config, num_classes, axis_name=axis_name)
+    # --global_bn=false on the GSPMD path: ghost-BN statistics per data
+    # shard (reference resnet.py:73-85 per-replica semantics); the shard_map
+    # path gets the same via plain local statistics (axis_name dropped).
+    bn_stat_groups = 1
+    if mesh is not None and not config.global_bn and not config.use_shard_map:
+        bn_stat_groups = mesh_lib.num_batch_shards(mesh)
+    model = SimCLRModel.from_config(config, num_classes, axis_name=axis_name,
+                                    bn_stat_groups=bn_stat_groups)
     lr_fn = warmup_cosine_schedule(config, num_examples)
     tx = build_optimizer(config, lr_fn)
     return model, tx, lr_fn
@@ -115,7 +123,8 @@ def train(config: Config) -> TrainState:
     fused_ntxent = resolve_use_fused_ntxent(config, mesh.size)
 
     ds, info = build_dataset(config, is_training=True)
-    model, tx, lr_fn = build_model_and_optimizer(config, info.num_train_examples, info.num_classes)
+    model, tx, lr_fn = build_model_and_optimizer(
+        config, info.num_train_examples, info.num_classes, mesh=mesh)
 
     state = init_state(config, model, tx, mesh, info.image_shape)
     manager = ckpt_lib.create_manager(config.model_dir, config.keep_checkpoint_max)
