@@ -347,6 +347,65 @@ def detect_tf_naming(tf_vars: Dict[str, np.ndarray]) -> str:
             else "tf1")
 
 
+def _get_in(tree: dict, path: Path):
+    node = tree
+    for p in path:
+        if not isinstance(node, dict) or p not in node:
+            return None
+        node = node[p]
+    return node
+
+
+def export_tf_checkpoint(config: Config, params: dict, batch_stats: dict,
+                         ckpt_prefix: str, naming: str = "tf2",
+                         strict: bool = True) -> str:
+    """Write (params, batch_stats) as a TF checkpoint in a released naming
+    scheme, so reference-side tooling (run.py --checkpoint warm starts,
+    model.py:162-168 init_from_checkpoint, the colabs' loaders) can consume
+    checkpoints trained by this framework.  The inverse of
+    ``import_tf_checkpoint`` — both directions share the same variable maps.
+
+    ``naming``: 'tf2' = object paths (tf2/run.py:308-337 tf.train.Checkpoint
+    keys), 'tf1' = graph auto-numbering (run.py:388-419).  Returns the
+    written checkpoint prefix.
+
+    TF2 object-path keys cannot be reproduced through Keras object graphs in
+    current TF (Keras 3 renames attributes and drops tracking), so both
+    schemes are written the same robust way: a TF1 Saver with an explicit
+    ``var_list`` keyed by the exact checkpoint name (this is also how the
+    import-shim test fixtures are produced, tests/test_checkpoint_compat.py).
+    """
+    import tensorflow.compat.v1 as tf1
+
+    mapping = (tf2_variable_map(config) if naming == "tf2"
+               else tf1_variable_map(config))
+    missing: List[str] = []
+    arrays: Dict[str, np.ndarray] = {}
+    for tf_name, (collection, path) in mapping.items():
+        tree = params if collection == "params" else batch_stats
+        value = _get_in(tree, path)
+        if value is None:
+            missing.append(tf_name)
+            continue
+        arrays[tf_name] = np.asarray(value, dtype=np.float32)
+    if strict and missing:
+        raise KeyError(
+            f"{len(missing)} mapped variables absent from the model trees, "
+            f"e.g. {missing[:5]} — config does not match the parameters?")
+
+    with tf1.Graph().as_default():
+        # Saver writes each variable under its var_list KEY; the in-graph
+        # variable names are irrelevant (and checkpoint keys like
+        # '.../.ATTRIBUTES/VARIABLE_VALUE' are not legal variable names).
+        var_list = {name: tf1.Variable(v, name=f"v_{i}")
+                    for i, (name, v) in enumerate(sorted(arrays.items()))}
+        saver = tf1.train.Saver(var_list=var_list)
+        with tf1.Session() as sess:
+            sess.run(tf1.global_variables_initializer())
+            saver.save(sess, ckpt_prefix, write_meta_graph=False)
+    return ckpt_prefix
+
+
 def import_tf_checkpoint(config: Config, ckpt_path: str,
                          strict: bool = True) -> Tuple[dict, dict]:
     """Load a released TF SimCLR checkpoint into (params, batch_stats) trees

@@ -269,3 +269,56 @@ def test_warm_start_accepts_tf_checkpoint(tmp_path):
     # ...and the supervised head was zero-initialized
     head = np.asarray(restored.params["head_supervised"]["linear_layer"]["dense"]["kernel"])
     assert (head == 0).all()
+
+
+# ---------------------------------------------------------------------------
+# JAX -> TF export (the reverse direction: reference tooling consumes OUR
+# checkpoints)
+# ---------------------------------------------------------------------------
+
+@pytest.mark.slow
+@pytest.mark.parametrize("naming", ["tf1", "tf2"])
+def test_export_tf_checkpoint_roundtrip(tmp_path, naming):
+    """export_tf_checkpoint writes a TF checkpoint the import shim (oracle-
+    tested against reference-structure fixtures) reads back bit-identical,
+    under both released naming schemes."""
+    from simclr_tpu.checkpoint_compat import export_tf_checkpoint
+
+    config = Config(resnet_depth=18, image_size=32, compute_dtype="float32")
+    model = SimCLRModel.from_config(config, num_classes=10)
+    x = jnp.zeros((2, 32, 32, 3))
+    variables = model.init(jax.random.PRNGKey(3), x, train=False)
+
+    prefix = export_tf_checkpoint(
+        config, variables["params"], variables["batch_stats"],
+        str(tmp_path / f"export_{naming}.ckpt"), naming=naming)
+    assert resolve_tf_checkpoint(prefix) == prefix
+
+    # The written keys are exactly the scheme's variable names.
+    from simclr_tpu.checkpoint_compat import (detect_tf_naming,
+                                              load_tf_checkpoint)
+    tf_vars = load_tf_checkpoint(prefix)
+    assert detect_tf_naming(tf_vars) == naming
+
+    params, batch_stats = import_tf_checkpoint(config, prefix)
+    mapping = (tf2_variable_map(config) if naming == "tf2"
+               else tf1_variable_map(config))
+
+    def get_in(tree, path):
+        node = tree
+        for p in path:
+            node = node[p]
+        return node
+
+    for _, (coll, path) in mapping.items():
+        src = get_in(variables[coll], path)
+        dst = get_in(params if coll == "params" else batch_stats, path)
+        np.testing.assert_array_equal(np.asarray(src), np.asarray(dst))
+
+
+def test_export_tf_checkpoint_strict_missing(tmp_path):
+    from simclr_tpu.checkpoint_compat import export_tf_checkpoint
+
+    config = Config(resnet_depth=18, image_size=32, compute_dtype="float32")
+    with pytest.raises(KeyError):
+        export_tf_checkpoint(config, {}, {}, str(tmp_path / "x.ckpt"))

@@ -94,3 +94,35 @@ def test_real_data_acceptance_dry_run(tmp_path):
 
     verdict = _json.loads(open(tmp_path / "acc" / "acceptance.json").read())
     assert verdict["recipe"] == "cifar10" and "top_1" in verdict
+
+
+@pytest.mark.slow
+def test_export_tf_checkpoint_tool(tmp_path):
+    """Train 2 tiny steps via the CLI, export the run as a TF2-named TF
+    checkpoint with tools/export_tf_checkpoint.py, and re-import it through
+    the compat shim."""
+    model_dir = str(tmp_path / "run")
+    r = subprocess.run(
+        [sys.executable, "-m", "simclr_tpu.run",
+         "--mode=train", "--train_mode=pretrain", "--dataset=synthetic",
+         "--resnet_depth=18", "--image_size=32", "--train_batch_size=8",
+         "--train_steps=2", "--warmup_epochs=0", "--compute_dtype=float32",
+         "--use_blur=false", f"--model_dir={model_dir}"],
+        capture_output=True, text=True, timeout=900,
+        env=dict(os.environ, PYTHONPATH=_REPO), cwd=_REPO)
+    assert r.returncode == 0, r.stdout + r.stderr
+
+    out_prefix = str(tmp_path / "export" / "model.ckpt")
+    r = subprocess.run(
+        [sys.executable, os.path.join(_REPO, "tools", "export_tf_checkpoint.py"),
+         f"--model_dir={model_dir}", f"--out={out_prefix}",
+         "--naming=tf2", "--num_classes=10"],
+        capture_output=True, text=True, timeout=900,
+        env=dict(os.environ, PYTHONPATH=_REPO), cwd=_REPO)
+    assert r.returncode == 0, r.stdout + r.stderr
+
+    from simclr_tpu.checkpoint_compat import import_tf_checkpoint
+
+    config = Config.load(os.path.join(model_dir, "flags.json"))
+    params, batch_stats = import_tf_checkpoint(config, out_prefix)
+    assert "resnet" in params and "projection_head" in params
