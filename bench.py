@@ -36,6 +36,10 @@ def main():
                     help="Force the augmentation backend (default: auto = "
                          "fused Pallas on TPU) for step-level A/Bs.")
     ap.add_argument("--steps", type=int, default=40)
+    ap.add_argument("--per_chip_batch", type=int, default=128,
+                    help="Per-chip batch (default = reference 4096/32). "
+                         "128 beat 256 on r2 libtpu (HBM spills) — knob "
+                         "kept for re-testing on newer runtimes.")
     args = ap.parse_args()
     from simclr_tpu.config import Config
     from simclr_tpu.optim.builder import masked, trainable_mask
@@ -44,7 +48,7 @@ def main():
     from simclr_tpu.training.steps import make_train_step
 
     n_chips = len(jax.devices())
-    per_chip_batch = 128
+    per_chip_batch = args.per_chip_batch
     batch = per_chip_batch * n_chips
 
     pretrain = args.train_mode == "pretrain"
