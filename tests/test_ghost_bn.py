@@ -186,3 +186,69 @@ def test_gspmd_ghost_bn_step_runs_on_mesh():
     # Per-replica variance excludes the between-replica term: not equal to
     # the global-statistics variance.
     assert not np.allclose(stats[True], stats[False])
+
+
+def test_ghost_bn_finetune_single_view_oracle():
+    """Finetune models have one view (stat_views=1): groups are plain
+    contiguous row chunks; per-group oracle equality."""
+    G = 4
+    cfg = dict(num_classes=10, resnet_depth=18, cifar_stem=True,
+               train_mode="finetune", fine_tune_after_block=-1,
+               fused_bn=True)
+    model_g = SimCLRModel(bn_stat_groups=G, **cfg)
+    model_l = SimCLRModel(bn_stat_groups=1, **cfg)
+
+    rng = np.random.RandomState(2)
+    x = jnp.asarray(rng.rand(8, 32, 32, 3).astype(np.float32))
+    variables = model_g.init(jax.random.PRNGKey(0), x[:2], train=False)
+
+    (_, sup_g), _ = model_g.apply(variables, x, train=True,
+                                  mutable=["batch_stats"])
+    chunk = x.shape[0] // G
+    for g in range(G):
+        xg = x[g * chunk:(g + 1) * chunk]
+        (_, sup_l), _ = model_l.apply(variables, xg, train=True,
+                                      mutable=["batch_stats"])
+        np.testing.assert_allclose(sup_g[g * chunk:(g + 1) * chunk],
+                                   np.asarray(sup_l), rtol=2e-4, atol=2e-4)
+
+
+@pytest.mark.slow
+def test_kitchen_sink_composition_step(monkeypatch):
+    """Feature-composition smoke: R50+SK+SE encoder, ghost BN
+    (global_bn=false), fused NT-Xent (interpreted), FSDP param sharding and
+    remat_until_block=2 — all in ONE GSPMD step on the 8-device mesh."""
+    from simclr_tpu.ops import ntxent_pallas as np_mod
+    from simclr_tpu.optim.builder import masked, trainable_mask
+    from simclr_tpu.training.steps import make_train_step
+
+    monkeypatch.setattr(np_mod, "_FORCE_INTERPRET", True)
+    config = Config(dataset="synthetic", image_size=32, resnet_depth=50,
+                    sk_ratio=0.0625, se_ratio=0.25, train_batch_size=16,
+                    warmup_epochs=0, optimizer="lars",
+                    compute_dtype="float32", use_blur=False,
+                    train_mode="pretrain", global_bn=False, fsdp=True,
+                    remat_until_block=2, use_fused_ntxent=True)
+    mesh = mesh_lib.create_mesh(config)
+    model, tx, lr_fn = trainer.build_model_and_optimizer(config, 256, 10,
+                                                         mesh=mesh)
+    assert model.bn_stat_groups == 8
+    state = trainer.init_state(config, model, tx, mesh, (32, 32, 3))
+    mask = trainable_mask(config, state.params)
+    step = jax.jit(make_train_step(config, model, masked(tx, mask), lr_fn,
+                                   mesh=mesh))
+    batch = {
+        "image": np.random.RandomState(0).randint(
+            0, 256, size=(16, 32, 32, 3), dtype=np.uint8),
+        "label": np.random.RandomState(1).randint(0, 10, size=(16,)).astype(np.int32),
+    }
+    batch = {k: jax.device_put(v, NamedSharding(mesh, P("data")))
+             for k, v in batch.items()}
+    new_state, metrics = step(state, batch, jax.random.PRNGKey(0))
+    assert np.isfinite(float(metrics["train/total_loss"]))
+    assert "train/contrast_acc" in metrics
+    # FSDP actually sharded something (dims >= 1024, e.g. the 2048-wide
+    # projection-head dense kernels).
+    sharded = [leaf for leaf in jax.tree.leaves(new_state.params)
+               if hasattr(leaf, "sharding") and not leaf.sharding.is_fully_replicated]
+    assert sharded
