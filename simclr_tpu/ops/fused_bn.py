@@ -94,6 +94,11 @@ def bn_train(x, scale, bias, eps: float, axis_name: Optional[str],
 
 def _group_reshape(xf, stat_groups: int, stat_views: int):
     n_rows = xf.shape[0]
+    if n_rows % (stat_views * stat_groups):
+        raise ValueError(
+            f"ghost BN: {n_rows} rows not divisible by stat_views="
+            f"{stat_views} x stat_groups={stat_groups} (per-shard batch must "
+            "divide the data-shard count)")
     chunk = n_rows // (stat_views * stat_groups)
     xg = xf.reshape(stat_views, stat_groups, chunk, *xf.shape[1:])
     red_axes = (0,) + tuple(range(2, xg.ndim - 1))  # all but group + channel

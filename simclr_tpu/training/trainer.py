@@ -99,7 +99,10 @@ def choose_steps_per_loop(config: Config, total_steps: int,
     formulation stages its whole input up front, which at reference scale
     (batch 4096 x 256^2 canvas = ~0.8 GB/step) must degrade to per-step
     async dispatch rather than OOM."""
-    spl = config.steps_per_loop or min(config.train_summary_steps, checkpoint_steps, 64)
+    # train_summary_steps=0 disables summaries (reference run.py:82-84), so
+    # it must not constrain the loop length.
+    summary_steps = config.train_summary_steps or checkpoint_steps
+    spl = config.steps_per_loop or min(summary_steps, checkpoint_steps, 64)
     spl = max(1, min(spl, total_steps))
     budget = config.loop_staging_budget_mb * 1024 * 1024
     mem_cap = max(1, budget // max(1, batch_bytes))
@@ -219,7 +222,11 @@ def train(config: Config) -> TrainState:
         aug_views = metrics.pop(steps_lib.VIEW_SUMMARY_KEY, None)
         cur_step += done
         ips = throughput.update(config.train_batch_size * done)
-        if cur_step % config.train_summary_steps < done or cur_step >= total_steps:
+        # train_summary_steps=0 = summaries disabled (reference run.py:82-84,
+        # used by the flagship ImageNet recipes to avoid host fetches).
+        if config.train_summary_steps > 0 and (
+                cur_step % config.train_summary_steps < done
+                or cur_step >= total_steps):
             fetched = logger.log(cur_step, metrics)
             if ips:
                 logger.log(cur_step, {"train/images_per_sec": ips})

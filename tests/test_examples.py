@@ -87,7 +87,10 @@ def test_real_data_acceptance_dry_run(tmp_path):
     r = subprocess.run(
         [sys.executable, os.path.join(_REPO, "tools", "real_data_acceptance.py"),
          "--dry_run", "--bar", "0.0", "--model_dir", str(tmp_path / "acc")],
-        capture_output=True, text=True, timeout=900, env=env, cwd=_REPO)
+        # Two training phases + eval in a subprocess: on this 1-core host the
+        # wall time balloons when anything else competes for the CPU, so the
+        # timeout is generous (observed ~6 min alone, >15 min under load).
+        capture_output=True, text=True, timeout=2400, env=env, cwd=_REPO)
     assert r.returncode == 0, r.stdout[-3000:] + r.stderr[-3000:]
     assert "PASS" in r.stdout, r.stdout
     import json as _json

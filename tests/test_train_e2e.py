@@ -76,3 +76,17 @@ def test_finetune_warm_start_from_pretrain(tmp_path):
     )
     state = trainer.train(ft)
     assert int(jax.device_get(state.step)) == 2
+
+
+@pytest.mark.slow
+def test_train_summary_steps_zero_disables_summaries(tmp_path):
+    """--train_summary_steps=0 = summaries off (reference run.py:82-84; the
+    flagship ImageNet recipes use it).  Must train without dividing by zero
+    and write no train scalars."""
+    config = _tiny_config(tmp_path, train_summary_steps=0, train_steps=3)
+    state = trainer.train(config)
+    assert int(jax.device_get(state.step)) == 3
+    jsonl = os.path.join(config.model_dir, "metrics.jsonl")
+    if os.path.exists(jsonl):
+        lines = [json.loads(l) for l in open(jsonl) if l.strip()]
+        assert not any(k.startswith("train/") for l in lines for k in l), lines
