@@ -90,3 +90,32 @@ def test_train_summary_steps_zero_disables_summaries(tmp_path):
     if os.path.exists(jsonl):
         lines = [json.loads(l) for l in open(jsonl) if l.strip()]
         assert not any(k.startswith("train/") for l in lines for k in l), lines
+
+
+@pytest.mark.slow
+def test_linear_eval_recipe_shape(tmp_path):
+    """The reference linear-eval recipe's exact flag combination
+    (README.md:119-127): momentum + global_bn=False (ghost BN on the GSPMD
+    path) + fine_tune_after_block=4 + variable_schema + zero-init head,
+    warm-started from a pretrain run, trained and evaluated."""
+    pre = _tiny_config(tmp_path, model_dir=str(tmp_path / "pretrain"))
+    trainer.train(pre)
+
+    ft = _tiny_config(
+        tmp_path,
+        model_dir=str(tmp_path / "lineareval"),
+        train_mode="finetune",
+        fine_tune_after_block=4,
+        checkpoint=str(tmp_path / "pretrain"),
+        zero_init_logits_layer=True,
+        variable_schema="(?!global_step|(?:.*/|^)Momentum|head)",
+        global_bn=False,
+        optimizer="momentum",
+        learning_rate=0.1,
+        weight_decay=0.0,
+        train_steps=2,
+    )
+    state = trainer.train(ft)
+    assert int(jax.device_get(state.step)) == 2
+    result = trainer.evaluate(ft)
+    assert 0.0 <= result["eval/label_top_1_accuracy"] <= 1.0
