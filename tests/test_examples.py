@@ -129,3 +129,34 @@ def test_export_tf_checkpoint_tool(tmp_path):
     config = Config.load(os.path.join(model_dir, "flags.json"))
     params, batch_stats = import_tf_checkpoint(config, out_prefix)
     assert "resnet" in params and "projection_head" in params
+
+
+@pytest.mark.slow
+def test_reproduce_imagenet_results_example(tmp_path):
+    """The results-reproduction script (port of imagenet_results.ipynb) runs
+    against a TF checkpoint written by our own export shim + a synthetic
+    eval split."""
+    from simclr_tpu.checkpoint_compat import export_tf_checkpoint
+    from simclr_tpu.models.model import SimCLRModel
+    import jax as _jax
+    import jax.numpy as _jnp
+
+    config = Config(resnet_depth=18, image_size=32, compute_dtype="float32",
+                    train_mode="finetune", fine_tune_after_block=-1)
+    model = SimCLRModel.from_config(config, num_classes=10)
+    variables = model.init(_jax.random.PRNGKey(0),
+                           _jnp.zeros((2, 32, 32, 3)), train=False)
+    ckpt = export_tf_checkpoint(config, variables["params"],
+                                variables["batch_stats"],
+                                str(tmp_path / "model.ckpt"), naming="tf1")
+
+    env = dict(os.environ, PYTHONPATH=_REPO)
+    r = subprocess.run(
+        [sys.executable, os.path.join(_REPO, "examples",
+                                      "reproduce_imagenet_results.py"),
+         "--checkpoint", ckpt, "--resnet_depth", "18",
+         "--dataset", "synthetic", "--image_size", "32",
+         "--eval_batch_size", "16"],
+        capture_output=True, text=True, timeout=1200, env=env, cwd=_REPO)
+    assert r.returncode == 0, r.stdout[-3000:] + r.stderr[-3000:]
+    assert "top_1" in r.stdout, r.stdout
