@@ -163,9 +163,14 @@ def main():
     os.makedirs(model_dir, exist_ok=True)
 
     if args.dry_run:
-        train_npz, test_npz = make_dry_npz(model_dir)
+        # Sized for the 1-core CI host: 128 images x 5 pretrain epochs
+        # (80 steps) + 1 linear epoch.  The earlier 10-epoch/256-image dry
+        # run proved the same plumbing but ran ~40 min inside the full
+        # pytest suite (per-step dispatch on the virtual 8-device CPU mesh
+        # dominates); learning quality is covered by tools/tpu_acceptance.py.
+        train_npz, test_npz = make_dry_npz(model_dir, n=128)
         verdict = run("cifar10", f"npz:{train_npz}", f"npz:{test_npz}",
-                      None, model_dir, scale=0.01,
+                      None, model_dir, scale=0.005,
                       bar=0.3 if args.bar is None else args.bar)
     else:
         if not args.data:
