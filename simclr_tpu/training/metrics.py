@@ -45,6 +45,14 @@ class MetricLogger:
         (tf2/run.py:572-576 parity).  Accepts uint8 or float [0,1] NHWC."""
         if self._tb is None:
             return
+        if (hasattr(images, "is_fully_addressable")
+                and not images.is_fully_addressable):
+            # Multi-process: a global jax.Array spanning other hosts cannot
+            # be fetched whole — log this process's local rows (the reference
+            # likewise summarizes the per-host batch, tf2/run.py:572-576).
+            shards = sorted(images.addressable_shards,
+                            key=lambda s: s.index[0].start or 0)
+            images = np.concatenate([np.asarray(s.data) for s in shards], axis=0)
         imgs = np.asarray(jax.device_get(images))[:max_images]
         if imgs.dtype == np.uint8:
             imgs = imgs.astype(np.float32) / 255.0
@@ -61,6 +69,9 @@ class MetricLogger:
 
 def write_result_json(model_dir: str, result: Dict[str, float], step: int):
     """run.py:329-353 artifact contract."""
+    # Eval-only runs on non-primary processes: nothing created model_dir yet
+    # (Orbax only creates directories on process 0).
+    os.makedirs(model_dir, exist_ok=True)
     result = {k: float(v) for k, v in result.items()}
     result["global_step"] = int(step)
     with open(os.path.join(model_dir, "result.json"), "w") as f:
