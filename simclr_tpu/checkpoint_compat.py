@@ -429,3 +429,28 @@ def import_tf_checkpoint(config: Config, ckpt_path: str,
         raise KeyError(f"{len(missing)} mapped variables absent from checkpoint, "
                        f"e.g. {missing[:5]}")
     return params, batch_stats
+
+
+def rescale_encoder_conv_kernels(params: dict, factor: float) -> dict:
+    """'Known issues' shim for mixing SimCLRv1 / v2 checkpoints (reference
+    README.md:198): the two versions were pretrained with different weight
+    decays, so v1 conv-kernel norms are on average ~16.8x the v2 scale.
+    Finetuning with LARS is scale-robust (trust ratio), but the momentum
+    optimizer needs either rescaled hparams or rescaled weights — the
+    reference suggests re-scaling the conv ``kernel`` parameters of
+    ``base_model``.  This multiplies every 4-D conv kernel in the encoder
+    subtree (``params['resnet']`` = the reference's ``base_model``) by
+    ``factor``, leaving dense/BN/head parameters untouched."""
+    import jax
+
+    if "resnet" not in params:
+        return params
+
+    def scale(path, leaf):
+        if (path and getattr(path[-1], "key", None) == "kernel"
+                and getattr(leaf, "ndim", 0) == 4):
+            return np.asarray(leaf) * factor
+        return leaf
+
+    resnet = jax.tree_util.tree_map_with_path(scale, params["resnet"])
+    return {**params, "resnet": resnet}

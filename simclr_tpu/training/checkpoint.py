@@ -24,17 +24,28 @@ from simclr_tpu.training.state import TrainState
 
 
 def create_manager(model_dir: str, keep_max: int = 5) -> ocp.CheckpointManager:
-    options = ocp.CheckpointManagerOptions(max_to_keep=keep_max, create=True)
+    # Async checkpointing: manager.save() snapshots to host memory and
+    # returns; serialization + disk writes run on a background thread so the
+    # periodic save is off the training critical path (the reference's
+    # Estimator/CheckpointManager saves block the train loop,
+    # run.py:388-411 / tf2/run.py:649).  Callers that need the files on
+    # disk pass wait=True to save() or call manager.wait_until_finished().
+    options = ocp.CheckpointManagerOptions(
+        max_to_keep=keep_max, create=True, enable_async_checkpointing=True)
     return ocp.CheckpointManager(model_dir, options=options)
 
 
-def save(manager: ocp.CheckpointManager, state: TrainState):
+def save(manager: ocp.CheckpointManager, state: TrainState, wait: bool = True):
+    """Save a full-state checkpoint.  ``wait=False`` overlaps the write with
+    subsequent training (the host copy via device_get is synchronous and
+    stays valid — train steps replace, never mutate, the state pytree)."""
     step = int(jax.device_get(state.step))
     manager.save(step, args=ocp.args.StandardSave(jax.device_get(
         {"params": state.params, "batch_stats": state.batch_stats,
          "opt_state": state.opt_state, "step": state.step}
     )))
-    manager.wait_until_finished()
+    if wait:
+        manager.wait_until_finished()
 
 
 def latest_step(manager: ocp.CheckpointManager) -> Optional[int]:

@@ -12,6 +12,7 @@ from __future__ import annotations
 
 import logging
 import os
+import signal
 import time
 from typing import Optional
 
@@ -113,6 +114,41 @@ def choose_steps_per_loop(config: Config, total_steps: int,
     return spl
 
 
+class PreemptionGuard:
+    """Preemption-safe training (beyond the reference, SURVEY §5 'no
+    preemption hooks').  TPU maintenance events and preemptible/spot VMs
+    deliver SIGTERM with a grace window; the reference relies on
+    restart-from-last-checkpoint, losing up to checkpoint_steps of work.
+    This guard converts the signal into a clean checkpoint-and-exit at the
+    next loop boundary, so resume-latest continues exactly (including the
+    data order, via set_start_step).  Every process of a multi-process job
+    receives the maintenance SIGTERM, so each saves its shard and exits the
+    same loop iteration (the loop count is a pure function of the step)."""
+
+    def __init__(self):
+        self.triggered = False
+        self._prev = None
+        self._installed = False
+
+    def install(self) -> "PreemptionGuard":
+        try:
+            self._prev = signal.signal(signal.SIGTERM, self._handle)
+            self._installed = True
+        except ValueError:
+            # Not in the main thread (embedded / test harness): degrade to a
+            # no-op guard rather than failing training.
+            pass
+        return self
+
+    def _handle(self, signum, frame):
+        self.triggered = True
+
+    def uninstall(self):
+        if self._installed:
+            signal.signal(signal.SIGTERM, self._prev)
+            self._installed = False
+
+
 def train(config: Config) -> TrainState:
     assert config.model_dir, "--model_dir is required"
     mesh_lib.maybe_initialize_distributed()
@@ -200,6 +236,7 @@ def train(config: Config) -> TrainState:
         # repeating early-epoch batches.
         ds.set_start_step(cur_step)
     it = iter(Prefetcher(ds))
+    guard = PreemptionGuard().install()
     t_start = time.time()
     while cur_step < total_steps:
         remaining = min(total_steps - cur_step,
@@ -240,8 +277,18 @@ def train(config: Config) -> TrainState:
             log.info("step %d/%d loss=%.4f ips=%s", cur_step, total_steps,
                      fetched.get("train/total_loss", float("nan")),
                      f"{ips:.1f}" if ips else "n/a")
-        if cur_step % checkpoint_steps < done or cur_step >= total_steps:
-            ckpt_lib.save(manager, state)
+        if (cur_step % checkpoint_steps < done or cur_step >= total_steps
+                or guard.triggered):
+            # Async save: serialization overlaps the next train loop; the
+            # end-of-training wait below guarantees durability before exit.
+            ckpt_lib.save(manager, state, wait=False)
+        if guard.triggered:
+            log.warning("SIGTERM received: checkpoint saved at step %d, "
+                        "exiting train loop (resume-latest continues here)",
+                        cur_step)
+            break
+    manager.wait_until_finished()
+    guard.uninstall()
     logger.close()
     log.info("training done in %.1fs", time.time() - t_start)
     return state

@@ -322,3 +322,30 @@ def test_export_tf_checkpoint_strict_missing(tmp_path):
     config = Config(resnet_depth=18, image_size=32, compute_dtype="float32")
     with pytest.raises(KeyError):
         export_tf_checkpoint(config, {}, {}, str(tmp_path / "x.ckpt"))
+
+
+def test_rescale_encoder_conv_kernels():
+    """README.md:198 known-issue shim: v1-vs-v2 weight-norm scale — only
+    4-D conv kernels inside the encoder subtree are rescaled."""
+    from simclr_tpu.checkpoint_compat import rescale_encoder_conv_kernels
+
+    params = {
+        "resnet": {
+            "initial_conv": {"conv2d": {"kernel": np.ones((3, 3, 3, 8), np.float32)}},
+            "bn": {"scale": np.ones((8,), np.float32)},
+        },
+        "projection_head": {"dense": {"kernel": np.ones((8, 4), np.float32)}},
+        "head_supervised": {"kernel": np.ones((8, 10), np.float32)},
+    }
+    out = rescale_encoder_conv_kernels(params, 1.0 / 16.8)
+    np.testing.assert_allclose(
+        out["resnet"]["initial_conv"]["conv2d"]["kernel"],
+        np.full((3, 3, 3, 8), 1.0 / 16.8, np.float32), rtol=1e-6)
+    # BN / dense / head untouched; input tree unmodified.
+    np.testing.assert_array_equal(out["resnet"]["bn"]["scale"], 1.0)
+    np.testing.assert_array_equal(out["projection_head"]["dense"]["kernel"], 1.0)
+    np.testing.assert_array_equal(out["head_supervised"]["kernel"], 1.0)
+    np.testing.assert_array_equal(
+        params["resnet"]["initial_conv"]["conv2d"]["kernel"], 1.0)
+    # No encoder subtree: identity.
+    assert rescale_encoder_conv_kernels({"x": 1}, 2.0) == {"x": 1}
