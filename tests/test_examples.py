@@ -77,6 +77,22 @@ def test_randbits_example():
 
 
 @pytest.mark.slow
+@pytest.mark.parametrize("dist", ["normal", "logsumexp"])
+def test_generalized_contrastive_loss_example(dist):
+    r = _run("generalized_contrastive_loss.py", "--dist", dist,
+             "--steps", "3", "--batch_size", "16")
+    assert r.returncode == 0, r.stdout + r.stderr
+
+
+@pytest.mark.slow
+def test_digits_on_images_example():
+    r = _run("digits_on_images.py", "--steps", "3", "--batch_size", "16",
+             "--image_size", "40")
+    assert r.returncode == 0, r.stdout + r.stderr
+    assert "background_probe_acc" in r.stdout
+
+
+@pytest.mark.slow
 def test_real_data_acceptance_dry_run(tmp_path):
     """The unattended real-data acceptance runner (VERDICT r2 #10) executes
     its full two-phase recipe — pretrain -> linear-eval warm-start -> eval
