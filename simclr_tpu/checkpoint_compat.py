@@ -444,13 +444,27 @@ def rescale_encoder_conv_kernels(params: dict, factor: float) -> dict:
     import jax
 
     if "resnet" not in params:
-        return params
+        raise ValueError(
+            "rescale_encoder_conv_kernels expects the params tree rooted at "
+            "the model (with a 'resnet' encoder subtree); got keys "
+            f"{sorted(params)} — pass variables['params'], not the full "
+            "variables dict or a subtree, or the requested rescale would be "
+            "silently skipped")
+
+    n_scaled = 0
 
     def scale(path, leaf):
+        nonlocal n_scaled
         if (path and getattr(path[-1], "key", None) == "kernel"
                 and getattr(leaf, "ndim", 0) == 4):
+            n_scaled += 1
             return np.asarray(leaf) * factor
         return leaf
 
     resnet = jax.tree_util.tree_map_with_path(scale, params["resnet"])
+    if n_scaled == 0:
+        raise ValueError(
+            "rescale_encoder_conv_kernels found no 4-D conv kernels under "
+            "params['resnet'] — nothing was rescaled; is this a valid "
+            "encoder params tree?")
     return {**params, "resnet": resnet}

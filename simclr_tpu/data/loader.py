@@ -611,6 +611,7 @@ class Prefetcher:
         self._it = iter(iterable)
         self._done = object()
         self._stop = False
+        self._exc = None
 
         def worker():
             try:
@@ -618,6 +619,9 @@ class Prefetcher:
                     self._q.put(item)
                     if self._stop:
                         break
+            except BaseException as e:  # re-raised in the consumer —
+                # a crashed pipeline must not masquerade as data exhaustion
+                self._exc = e
             finally:
                 self._q.put(self._done)
 
@@ -642,5 +646,7 @@ class Prefetcher:
     def __next__(self):
         item = self._q.get()
         if item is self._done:
+            if self._exc is not None:
+                raise self._exc
             raise StopIteration
         return item

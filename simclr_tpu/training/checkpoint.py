@@ -37,13 +37,20 @@ def create_manager(model_dir: str, keep_max: int = 5) -> ocp.CheckpointManager:
 
 def save(manager: ocp.CheckpointManager, state: TrainState, wait: bool = True):
     """Save a full-state checkpoint.  ``wait=False`` overlaps the write with
-    subsequent training (the host copy via device_get is synchronous and
-    stays valid — train steps replace, never mutate, the state pytree)."""
+    subsequent training (the async manager snapshots device arrays to host
+    before returning, so the save stays valid even though train steps donate
+    and replace the state buffers).
+
+    Device arrays are passed to Orbax directly: each process writes only its
+    addressable shards (a device_get here would try to assemble the full
+    array on every host — a memory spike for FSDP states and an error for
+    cross-process shardings), and the checkpoint stores the GLOBAL array, so
+    it can be restored onto a different mesh (see ``restore``)."""
     step = int(jax.device_get(state.step))
-    manager.save(step, args=ocp.args.StandardSave(jax.device_get(
+    manager.save(step, args=ocp.args.StandardSave(
         {"params": state.params, "batch_stats": state.batch_stats,
          "opt_state": state.opt_state, "step": state.step}
-    )))
+    ))
     if wait:
         manager.wait_until_finished()
 
@@ -53,11 +60,26 @@ def latest_step(manager: ocp.CheckpointManager) -> Optional[int]:
 
 
 def restore(manager: ocp.CheckpointManager, state: TrainState, step: Optional[int] = None) -> TrainState:
-    """Full-state resume (tf2/run.py:316-321)."""
+    """Full-state resume (tf2/run.py:316-321).
+
+    The restore target is abstract arrays carrying the LIVE shardings of
+    ``state`` (the mesh layout init_state produced), so Orbax lays each
+    array straight onto the current mesh — each process reads only its
+    shards, FSDP states resume without a replication memory spike, and the
+    restore is ELASTIC: checkpoints store global arrays, so a run saved on
+    an 8-device mesh resumes on 4 devices (or 1) with only a config
+    change."""
     step = step if step is not None else manager.latest_step()
     target = {"params": state.params, "batch_stats": state.batch_stats,
               "opt_state": state.opt_state, "step": state.step}
-    restored = manager.restore(step, args=ocp.args.StandardRestore(jax.device_get(target)))
+
+    def as_abstract(x):
+        if isinstance(x, jax.Array):
+            return jax.ShapeDtypeStruct(x.shape, x.dtype, sharding=x.sharding)
+        return np.asarray(x)
+
+    abstract = jax.tree.map(as_abstract, target)
+    restored = manager.restore(step, args=ocp.args.StandardRestore(abstract))
     return state.replace(
         params=restored["params"], batch_stats=restored["batch_stats"],
         opt_state=restored["opt_state"], step=jnp.asarray(restored["step"], jnp.int32),

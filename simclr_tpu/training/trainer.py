@@ -121,14 +121,29 @@ class PreemptionGuard:
     restart-from-last-checkpoint, losing up to checkpoint_steps of work.
     This guard converts the signal into a clean checkpoint-and-exit at the
     next loop boundary, so resume-latest continues exactly (including the
-    data order, via set_start_step).  Every process of a multi-process job
-    receives the maintenance SIGTERM, so each saves its shard and exits the
-    same loop iteration (the loop count is a pure function of the step)."""
+    data order, via set_start_step).  The local flag is only a hint: in a
+    multi-process job the signal can land on different sides of a process's
+    loop-boundary check, so the trainer all-reduces it across processes at
+    each boundary (``sync``) — every process then agrees on the exit step
+    and the (collective) preemption save cannot deadlock against a process
+    that already entered the next train step."""
 
     def __init__(self):
         self.triggered = False
         self._prev = None
         self._installed = False
+
+    def sync(self) -> bool:
+        """True iff ANY process has received SIGTERM.  Collective: every
+        process must call this at the same loop boundary (the trainer's
+        boundaries are a pure function of the step, so they line up)."""
+        if jax.process_count() <= 1:
+            return self.triggered
+        from jax.experimental import multihost_utils
+
+        flags = multihost_utils.process_allgather(
+            np.asarray(self.triggered, np.int32))
+        return bool(np.max(flags) > 0)
 
     def install(self) -> "PreemptionGuard":
         try:
@@ -238,58 +253,70 @@ def train(config: Config) -> TrainState:
     it = iter(Prefetcher(ds))
     guard = PreemptionGuard().install()
     t_start = time.time()
-    while cur_step < total_steps:
-        remaining = min(total_steps - cur_step,
-                        checkpoint_steps - cur_step % checkpoint_steps)
-        if multi_fn is not None and remaining >= spl:
-            raw = [next(it) for _ in range(spl)]
-            stacked = {k: np.stack([b[k] for b in raw]) for k in raw[0]}
-            loop_sharding = NamedSharding(mesh, P(None, mesh_lib.batch_axes(mesh)))
-            batches = {k: _put_global(v, loop_sharding) for k, v in stacked.items()}
-            state, metrics = multi_fn(state, batches, base_rng)
-            last_images = stacked["image"][0]
-            done = spl
-        else:
-            raw = next(it)
-            batch = _put_batch(raw, mesh)
-            state, metrics = step_fn(state, batch, base_rng)
-            last_images = raw["image"]
-            done = 1
-        metrics = dict(metrics)
-        aug_views = metrics.pop(steps_lib.VIEW_SUMMARY_KEY, None)
-        cur_step += done
-        ips = throughput.update(config.train_batch_size * done)
-        # train_summary_steps=0 = summaries disabled (reference run.py:82-84,
-        # used by the flagship ImageNet recipes to avoid host fetches).
-        if config.train_summary_steps > 0 and (
-                cur_step % config.train_summary_steps < done
-                or cur_step >= total_steps):
-            fetched = logger.log(cur_step, metrics)
-            if ips:
-                logger.log(cur_step, {"train/images_per_sec": ips})
-            # Image summaries (tf2/run.py:572-576): the reference logs the
-            # first AUGMENTED view — that comes out of the jitted step as a
-            # small slice of the actual model inputs; the raw host canvas is
-            # logged alongside for before/after debugging.
-            if aug_views is not None:
-                logger.log_images(cur_step, aug_views, tag="augmented_views")
-            logger.log_images(cur_step, last_images)
-            log.info("step %d/%d loss=%.4f ips=%s", cur_step, total_steps,
-                     fetched.get("train/total_loss", float("nan")),
-                     f"{ips:.1f}" if ips else "n/a")
-        if (cur_step % checkpoint_steps < done or cur_step >= total_steps
-                or guard.triggered):
-            # Async save: serialization overlaps the next train loop; the
-            # end-of-training wait below guarantees durability before exit.
-            ckpt_lib.save(manager, state, wait=False)
-        if guard.triggered:
-            log.warning("SIGTERM received: checkpoint saved at step %d, "
-                        "exiting train loop (resume-latest continues here)",
-                        cur_step)
-            break
-    manager.wait_until_finished()
-    guard.uninstall()
-    logger.close()
+    try:
+        while cur_step < total_steps:
+            remaining = min(total_steps - cur_step,
+                            checkpoint_steps - cur_step % checkpoint_steps)
+            if multi_fn is not None and remaining >= spl:
+                raw = [next(it) for _ in range(spl)]
+                stacked = {k: np.stack([b[k] for b in raw]) for k in raw[0]}
+                loop_sharding = NamedSharding(mesh, P(None, mesh_lib.batch_axes(mesh)))
+                batches = {k: _put_global(v, loop_sharding) for k, v in stacked.items()}
+                state, metrics = multi_fn(state, batches, base_rng)
+                last_images = stacked["image"][0]
+                done = spl
+            else:
+                raw = next(it)
+                batch = _put_batch(raw, mesh)
+                state, metrics = step_fn(state, batch, base_rng)
+                last_images = raw["image"]
+                done = 1
+            metrics = dict(metrics)
+            aug_views = metrics.pop(steps_lib.VIEW_SUMMARY_KEY, None)
+            cur_step += done
+            ips = throughput.update(config.train_batch_size * done)
+            # train_summary_steps=0 = summaries disabled (reference
+            # run.py:82-84, used by the flagship ImageNet recipes to avoid
+            # host fetches).
+            if config.train_summary_steps > 0 and (
+                    cur_step % config.train_summary_steps < done
+                    or cur_step >= total_steps):
+                fetched = logger.log(cur_step, metrics)
+                if ips:
+                    logger.log(cur_step, {"train/images_per_sec": ips})
+                # Image summaries (tf2/run.py:572-576): the reference logs
+                # the first AUGMENTED view — that comes out of the jitted
+                # step as a small slice of the actual model inputs; the raw
+                # host canvas is logged alongside for before/after debugging.
+                if aug_views is not None:
+                    logger.log_images(cur_step, aug_views, tag="augmented_views")
+                logger.log_images(cur_step, last_images)
+                log.info("step %d/%d loss=%.4f ips=%s", cur_step, total_steps,
+                         fetched.get("train/total_loss", float("nan")),
+                         f"{ips:.1f}" if ips else "n/a")
+            # ONE synchronized read per boundary: a SIGTERM landing between
+            # two separate reads could exit the loop without saving; a
+            # per-process read could split a multi-process job across the
+            # boundary (one side in a collective save, the other in the next
+            # train step — mismatched collectives hang everyone).
+            preempted = guard.sync()
+            if (cur_step % checkpoint_steps < done or cur_step >= total_steps
+                    or preempted):
+                # Async save: serialization overlaps the next train loop; the
+                # end-of-training wait below guarantees durability before exit.
+                ckpt_lib.save(manager, state, wait=False)
+            if preempted:
+                log.warning("SIGTERM received: checkpoint saved at step %d, "
+                            "exiting train loop (resume-latest continues here)",
+                            cur_step)
+                break
+    finally:
+        # An exception mid-step must not abandon an in-flight async save
+        # (durability the old synchronous save semantics guaranteed), leak
+        # the SIGTERM handler into the caller, or leave the TB writer open.
+        manager.wait_until_finished()
+        guard.uninstall()
+        logger.close()
     log.info("training done in %.1fs", time.time() - t_start)
     return state
 

@@ -72,6 +72,18 @@ def main():
     result2 = trainer.evaluate(cfg2)
     print(f"RAGGEDTOP1 {result2['eval/label_top_1_accuracy']:.8f}", flush=True)
 
+    # PreemptionGuard.sync (ADVICE r3): SIGTERM can land on different sides
+    # of each process's loop-boundary check, so the flag must be all-reduced
+    # — when only THIS process 0 has the signal, BOTH must agree "preempted"
+    # (else one side enters a collective save while the other enters the
+    # next train step, and the job hangs).  Collective: both processes call
+    # sync() the same number of times.
+    guard = trainer.PreemptionGuard()
+    none_synced = guard.sync()      # nobody signalled -> everyone False
+    guard.triggered = (pid == 0)
+    one_synced = guard.sync()       # one process signalled -> everyone True
+    print(f"PREEMPTSYNC {int(none_synced)} {int(one_synced)}", flush=True)
+
 
 if __name__ == "__main__":
     main()

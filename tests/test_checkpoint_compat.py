@@ -347,5 +347,12 @@ def test_rescale_encoder_conv_kernels():
     np.testing.assert_array_equal(out["head_supervised"]["kernel"], 1.0)
     np.testing.assert_array_equal(
         params["resnet"]["initial_conv"]["conv2d"]["kernel"], 1.0)
-    # No encoder subtree: identity.
-    assert rescale_encoder_conv_kernels({"x": 1}, 2.0) == {"x": 1}
+    # Wrongly-rooted tree (e.g. the full variables dict) must fail loudly
+    # instead of silently skipping the rescale the caller asked for
+    # (ADVICE r3).
+    with pytest.raises(ValueError, match="resnet"):
+        rescale_encoder_conv_kernels({"params": params}, 2.0)
+    # An encoder subtree with no 4-D conv kernels is equally suspect.
+    with pytest.raises(ValueError, match="no 4-D conv kernels"):
+        rescale_encoder_conv_kernels(
+            {"resnet": {"bn": {"scale": np.ones((8,), np.float32)}}}, 2.0)

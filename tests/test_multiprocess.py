@@ -121,3 +121,11 @@ def test_two_process_training_matches_single_process(tmp_path):
         dataset=f"npz:{npz}", model_dir=str(tmp_path / "ragged_sp")))
     np.testing.assert_allclose(
         ragged[0], sp_ragged["eval/label_top_1_accuracy"], atol=1e-7)
+
+    # Preemption flag agreement (ADVICE r3): with SIGTERM delivered to only
+    # one process, guard.sync() must return True on BOTH (and False on both
+    # when nobody was signalled).
+    for out in outs:
+        m = re.search(r"PREEMPTSYNC (\d) (\d)", out)
+        assert m, f"worker missing PREEMPTSYNC line:\n{out[-2000:]}"
+        assert m.group(1) == "0" and m.group(2) == "1"

@@ -62,6 +62,62 @@ def test_preemption_guard_outside_main_thread_is_noop():
     assert result["triggered"] is False
 
 
+def test_guard_sync_single_process_is_local_flag():
+    """guard.sync() with one process is just the local flag (no collective)."""
+    guard = trainer.PreemptionGuard()
+    assert guard.sync() is False
+    guard.triggered = True
+    assert guard.sync() is True
+
+
+class _RaiseAtBatch:
+    """Dataset that raises mid-training, to exercise the trainer's cleanup
+    path (ADVICE r3: an exception must not leak the SIGTERM handler or
+    abandon an in-flight async save)."""
+
+    def __init__(self, inner, at: int):
+        self.inner, self.at = inner, at
+
+    def set_start_step(self, step):
+        if hasattr(self.inner, "set_start_step"):
+            self.inner.set_start_step(step)
+
+    def __iter__(self):
+        for i, batch in enumerate(iter(self.inner)):
+            if i == self.at:
+                raise RuntimeError("injected data failure")
+            yield batch
+
+
+@pytest.mark.slow
+def test_exception_mid_training_restores_sigterm_and_finalizes(
+        tmp_path, monkeypatch):
+    """A crash inside the train loop must still wait for async saves,
+    uninstall the SIGTERM handler, and close the metric writer."""
+    config = Config(
+        dataset="synthetic", num_images_default=64, image_size=32,
+        resnet_depth=18, train_batch_size=16, eval_batch_size=16,
+        train_steps=10_000, checkpoint_steps=2, steps_per_loop=1,
+        train_summary_steps=0, warmup_epochs=0, optimizer="momentum",
+        learning_rate=0.01, model_dir=str(tmp_path / "model"),
+        compute_dtype="float32", use_blur=False,
+    )
+    real_build = trainer.build_dataset
+
+    def build_with_raise(cfg, is_training):
+        ds, info = real_build(cfg, is_training)
+        return _RaiseAtBatch(ds, at=6), info
+
+    monkeypatch.setattr(trainer, "build_dataset", build_with_raise)
+    with pytest.raises(RuntimeError, match="injected data failure"):
+        trainer.train(config)
+    # Handler restored despite the crash (try/finally), and the periodic
+    # async save issued at step 2/4 was made durable before propagating.
+    assert signal.getsignal(signal.SIGTERM) == signal.SIG_DFL
+    manager = ckpt_lib.create_manager(config.model_dir)
+    assert manager.latest_step() is not None
+
+
 class _SignalAtBatch:
     """Wrap a train dataset so SIGTERM is raised while the train loop is
     consuming batch ``at`` — deterministically after the PreemptionGuard is
