@@ -106,7 +106,8 @@ class Config:
 
     # --- TPU-native additions ---------------------------------------------
     compute_dtype: str = _field("bfloat16", "Activation/matmul dtype on the MXU: bfloat16 | float32.")
-    mesh_shape: Optional[str] = _field(None, "Device mesh, e.g. '8' or '4,2' for (data, model); default = all devices on data.")
+    mesh_shape: Optional[str] = _field(None, "Device mesh, e.g. '8' or '4,2' for (data, model); default = all devices on data. With a 'model' axis, large parameters are tensor-parallel: their output-channel dim is sharded over it (Megatron-style weight-stationary TP; XLA inserts the activation collectives).")
+    spatial_partition: int = _field(1, "Shard the image HEIGHT dimension of the conv tower this many ways over a 'spatial' mesh axis (XLA GSPMD inserts conv halo exchanges automatically). Lets per-chip batch 1 of very large inputs span multiple chips; devices = data_parallel x spatial_partition.")
     dcn_data_parallelism: int = _field(1, "Number of TPU slices data-parallel over DCN (>1 builds a hybrid ('dcn','data') mesh; collectives reduce hierarchically, heavy traffic stays on ICI).")
     fsdp: bool = _field(False, "Shard parameters/optimizer state across the data axis (ZeRO-style).")
     device_augment: bool = _field(True, "Run the augmentation stack on device (batched, default) or, when false, on the host CPU inside the prefetch thread (the reference's tf.data architecture; same draws, see data/host_augment.py). Host mode requires the GSPMD path (not --use_shard_map).")

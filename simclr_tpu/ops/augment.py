@@ -559,7 +559,7 @@ def crop_params(images, k_crop, height, width, valid_hw=None, flips=None):
 def preprocess_for_train(
     images, key, height, width,
     color_jitter_strength=0.0, crop=True, flip=True, impl="simclrv2",
-    dtype=None, valid_hw=None, color_impl=None,
+    dtype=None, valid_hw=None, color_impl=None, mesh=None,
 ):
     """Batched train-time preprocessing (tf2/data_util.py:444-479).
 
@@ -609,7 +609,7 @@ def preprocess_for_train(
                 jnp.zeros((b, 3), jnp.int32), jnp.zeros((b,), jnp.float32),
                 out_hw=(height, width), brightness=0.0, contrast=0.0,
                 saturation=0.0, hue=0.0, kernel_size=0, out_dtype=out_dtype,
-                interpret=(color_impl == "pallas_interpret"))
+                interpret=(color_impl == "pallas_interpret"), mesh=mesh)
         else:
             images = random_crop_with_resize(images, k_crop, height, width,
                                              valid_hw=valid_hw, flips=flips)
@@ -676,7 +676,8 @@ def identity_flip_params(b, width, flips):
 
 def _two_view_fused_color(canvas, crop_params, keys_jitter, k_blur, height,
                           width, strength, use_blur, impl,
-                          out_dtype=None, interpret=False, n_per_view=None):
+                          out_dtype=None, interpret=False, n_per_view=None,
+                          mesh=None):
     """Crop(+flip)+jitter+grayscale+blur for both views in one Pallas pass
     (ops/color_pipeline_pallas.py): per-view bicubic sampling matrices are
     built in-kernel from the box params, everything else stays in VMEM.
@@ -711,13 +712,13 @@ def _two_view_fused_color(canvas, crop_params, keys_jitter, k_blur, height,
         canvas, crop_params, perm, u, gates, sigmas, out_hw=(height, width),
         brightness=0.8 * s, contrast=0.8 * s, saturation=0.8 * s, hue=0.2 * s,
         v1_brightness=(impl == "simclrv1"), out_dtype=out_dtype,
-        kernel_size=kernel_size, interpret=interpret)
+        kernel_size=kernel_size, interpret=interpret, mesh=mesh)
 
 
 def two_view_pretrain_batch(
     images, key, height, width, color_jitter_strength=1.0,
     use_blur=True, impl="simclrv2", dtype=None, valid_hw=None,
-    color_impl=None, host_cropped=False,
+    color_impl=None, host_cropped=False, mesh=None,
 ):
     """Generate the two augmented views for pretraining, fully on device.
 
@@ -763,7 +764,7 @@ def two_view_pretrain_batch(
                 crops, params, keys_jitter, k_blur, height, width,
                 color_jitter_strength, use_blur, impl,
                 out_dtype=dtype or jnp.float32, n_per_view=b,
-                interpret=(color_impl == "pallas_interpret"))
+                interpret=(color_impl == "pallas_interpret"), mesh=mesh)
         if crops.dtype == jnp.uint8:
             crops = crops.astype(jnp.float32) / 255.0
         views = []
@@ -805,7 +806,7 @@ def two_view_pretrain_batch(
             imgs, jnp.concatenate(params, axis=0), keys_jitter, k_blur,
             height, width, color_jitter_strength, use_blur, impl,
             out_dtype=out_dtype,
-            interpret=(color_impl == "pallas_interpret"))
+            interpret=(color_impl == "pallas_interpret"), mesh=mesh)
     if images.dtype == jnp.uint8:
         images = images.astype(jnp.float32) / 255.0
     view_a = preprocess_for_train(images, k1, height, width, color_jitter_strength,

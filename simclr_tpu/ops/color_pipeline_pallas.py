@@ -293,12 +293,13 @@ def _call_kernel(planar, crop, perm, u, gates, kern, out_hw, n_views, *,
 
 @functools.partial(jax.jit, static_argnames=(
     "out_hw", "brightness", "contrast", "saturation", "hue", "v1_brightness",
-    "out_dtype", "kernel_size", "interpret"))
+    "out_dtype", "kernel_size", "interpret", "mesh"))
 def fused_crop_color_pipeline(canvas, crop_params, perm, u, gates, sigmas, *,
                               out_hw, brightness: float, contrast: float,
                               saturation: float, hue: float,
                               v1_brightness: bool = False, out_dtype=None,
-                              kernel_size: int = 0, interpret: bool = False):
+                              kernel_size: int = 0, interpret: bool = False,
+                              mesh=None):
     """The ENTIRE two-view augmentation after box/flip sampling: bicubic
     distorted crop (+folded flip) + jitter + grayscale + blur, one Pallas
     program per view.  ``canvas`` is the NHWC host canvas (B, Hin, Win, 3);
@@ -307,7 +308,24 @@ def fused_crop_color_pipeline(canvas, crop_params, perm, u, gates, sigmas, *,
 
     crop_params (V, 4) f32 = [sy, sx, ty, tx] scale/translation per view
     (sx negative for folded flips); remaining tables as fused_color_pipeline.
+
+    ``mesh``: when called inside a GSPMD (jit + NamedSharding) step on a
+    multi-device mesh, the partitioner cannot shard a pallas_call — left
+    alone it would all-gather the batch and re-augment the FULL global
+    batch on every chip.  Passing the mesh drops the kernel into a
+    shard_map island over the mesh's batch axes (the same pattern as
+    ntxent_fused_metrics_gspmd): every per-view randomness table is drawn
+    globally by the caller, so each shard augments exactly its rows and
+    the result is bit-identical to the single-shard call.
     """
+    if mesh is not None:
+        out = _fused_crop_sharded(
+            canvas, crop_params, perm, u, gates, sigmas, mesh=mesh,
+            out_hw=out_hw, brightness=brightness, contrast=contrast,
+            saturation=saturation, hue=hue, v1_brightness=v1_brightness,
+            out_dtype=out_dtype, kernel_size=kernel_size, interpret=interpret)
+        if out is not None:
+            return out
     b, hin, win, c = canvas.shape
     assert c == 3, "fused color pipeline is RGB-only"
     h, w = out_hw
@@ -328,3 +346,51 @@ def fused_crop_color_pipeline(canvas, crop_params, perm, u, gates, sigmas, *,
                        v1_brightness=v1_brightness, do_crop=True,
                        interpret=interpret, out_dtype=out_dtype)
     return jnp.transpose(out, (0, 2, 3, 1))
+
+
+def _fused_crop_sharded(canvas, crop_params, perm, u, gates, sigmas, *,
+                        mesh, **kw):
+    """shard_map island running fused_crop_color_pipeline per batch shard.
+
+    The canvas (B, Hin, Win, 3) is batch-sharded on dim 0; the V per-view
+    tables are stacked in ``V // B`` view groups of B rows each (a-then-b
+    for the two-view pretrain layout, a single group for the finetune crop
+    and host-cropped layouts).  Each group is split out, sharded on its own
+    dim 0 alongside the canvas, re-stacked locally (so the kernel's
+    ``view % B_local`` indexing lines up), and the local outputs are
+    reassembled group-major — the global a-then-b order.
+
+    Returns None when the island does not apply (single shard, or shapes
+    that do not divide) so the caller falls through to the direct call.
+    """
+    from jax.sharding import PartitionSpec as P
+
+    from simclr_tpu.parallel import mesh as mesh_lib
+
+    n = mesh_lib.num_batch_shards(mesh)
+    b = canvas.shape[0]
+    v = crop_params.shape[0]
+    if n == 1 or b % n or v % b:
+        return None
+    nv = v // b
+    axes = mesh_lib.batch_axes(mesh)
+
+    tables = (crop_params, perm, u, gates, sigmas)
+    groups = tuple(t[i * b:(i + 1) * b] for i in range(nv) for t in tables)
+
+    def body(canvas_l, *groups_l):
+        per_group = [groups_l[i * len(tables):(i + 1) * len(tables)]
+                     for i in range(nv)]
+        locals_ = [jnp.concatenate([g[j] for g in per_group], axis=0)
+                   for j in range(len(tables))]
+        out = fused_crop_color_pipeline(
+            canvas_l, *locals_, mesh=None, **kw)
+        bl = canvas_l.shape[0]
+        return tuple(out[i * bl:(i + 1) * bl] for i in range(nv))
+
+    in_specs = (P(axes),) + (P(axes),) * len(groups)
+    out_specs = tuple(P(axes) for _ in range(nv))
+    outs = jax.shard_map(body, mesh=mesh, in_specs=in_specs,
+                         out_specs=out_specs, check_vma=False)(
+        canvas, *groups)
+    return jnp.concatenate(outs, axis=0) if nv > 1 else outs[0]

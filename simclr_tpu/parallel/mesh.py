@@ -27,6 +27,8 @@ from simclr_tpu.config import Config
 
 DATA_AXIS = "data"
 DCN_AXIS = "dcn"  # across-slice axis (data-center network, SURVEY §5)
+SPATIAL_AXIS = "spatial"  # image-height sharding (GSPMD conv halo exchange)
+MODEL_AXIS = "model"  # tensor-parallel axis (output-channel param sharding)
 
 
 def maybe_initialize_distributed():
@@ -72,6 +74,17 @@ def create_mesh(config: Optional[Config] = None, devices=None) -> Mesh:
     tests) a plain reshape is used."""
     devices = devices if devices is not None else jax.devices()
     dcn = getattr(config, "dcn_data_parallelism", 1) if config is not None else 1
+    sp = getattr(config, "spatial_partition", 1) if config is not None else 1
+    if sp and sp > 1:
+        if dcn and dcn > 1 or (config is not None and config.mesh_shape):
+            raise ValueError(
+                "--spatial_partition cannot be combined with "
+                "--dcn_data_parallelism or --mesh_shape")
+        if len(devices) % sp:
+            raise ValueError(
+                f"--spatial_partition={sp} does not divide {len(devices)} devices")
+        arr = np.asarray(devices).reshape(len(devices) // sp, sp)
+        return Mesh(arr, (DATA_AXIS, SPATIAL_AXIS))
     if dcn and dcn > 1:
         if len(devices) % dcn:
             raise ValueError(
@@ -93,7 +106,7 @@ def create_mesh(config: Optional[Config] = None, devices=None) -> Mesh:
         shape = (len(devices),)
     if int(np.prod(shape)) != len(devices):
         raise ValueError(f"mesh_shape {shape} does not match {len(devices)} devices")
-    axis_names = (DATA_AXIS,) if len(shape) == 1 else (DATA_AXIS, "model")[: len(shape)]
+    axis_names = (DATA_AXIS,) if len(shape) == 1 else (DATA_AXIS, MODEL_AXIS)[: len(shape)]
     return Mesh(np.asarray(devices).reshape(shape), axis_names)
 
 
@@ -134,14 +147,43 @@ def fsdp_spec(leaf, axis_size: int) -> P:
     return P()
 
 
+def param_spec(leaf, mesh: Mesh, fsdp: bool = False) -> P:
+    """PartitionSpec for one param/optimizer leaf under the mesh's policy.
+
+    Tensor parallelism (a 'model' mesh axis, --mesh_shape=D,M): large
+    (>=64K-element, >=2-D) parameters shard their output-channel (last) dim
+    over 'model' — the weight-stationary Megatron recipe; GSPMD propagates
+    channel-sharded activations through the conv tower and inserts the
+    all-gathers/reduce-scatters where consecutive layers disagree
+    (scaling-book TP recipe).  BN vectors and other small leaves stay
+    replicated (their collectives would cost more than the memory saved).
+
+    FSDP (ZeRO) composes: the largest remaining unsharded dim that divides
+    the data-axis size is sharded over 'data'."""
+    shape = getattr(leaf, "shape", ())
+    spec = [None] * len(shape)
+    if MODEL_AXIS in mesh.axis_names and len(shape) >= 2:
+        m = mesh.shape[MODEL_AXIS]
+        if shape[-1] % m == 0 and shape[-1] >= m and int(np.prod(shape)) >= 65536:
+            spec[-1] = MODEL_AXIS
+    if fsdp and shape and max(shape) >= 1024:
+        axis_size = mesh.shape[DATA_AXIS]
+        for d in sorted(range(len(shape)), key=lambda i: -shape[i]):
+            if (spec[d] is None and shape[d] % axis_size == 0
+                    and shape[d] >= axis_size):
+                spec[d] = DATA_AXIS
+                break
+    while spec and spec[-1] is None:  # P(None,..) != P() under spec equality
+        spec.pop()
+    return P(*spec)
+
+
 def state_shardings(mesh: Mesh, state, fsdp: bool = False):
-    """Sharding pytree for a TrainState: params/opt-state replicated (or
-    FSDP-sharded), scalars replicated."""
-    axis_size = mesh.shape[DATA_AXIS]
+    """Sharding pytree for a TrainState: params/opt-state replicated, or
+    sharded per the mesh policy (FSDP over 'data', TP over 'model' — see
+    param_spec); scalars replicated."""
 
     def leaf_sharding(leaf):
-        if fsdp:
-            return NamedSharding(mesh, fsdp_spec(leaf, axis_size))
-        return NamedSharding(mesh, P())
+        return NamedSharding(mesh, param_spec(leaf, mesh, fsdp=fsdp))
 
     return jax.tree.map(leaf_sharding, state)

@@ -83,11 +83,13 @@ def make_train_step(config: Config, model, tx: optax.GradientTransformation,
 
     batch: {'image': uint8 (B, H0, W0, 3) global, 'label': int32 (B,)}.
 
-    ``mesh``: the device mesh the step will be jitted over.  Only needed by
-    the fused NT-Xent path, which drops into a shard_map island over the
-    mesh's batch axes (the GSPMD partitioner cannot shard the Pallas
-    kernel); everything else is partitioner-propagated from the batch
-    sharding.  ``mesh=None`` keeps single-shard fused semantics.
+    ``mesh``: the device mesh the step will be jitted over.  Needed by the
+    Pallas paths — fused NT-Xent and the fused crop+color kernel — which
+    drop into shard_map islands over the mesh's batch axes (the GSPMD
+    partitioner cannot shard a pallas_call; without the island it would
+    all-gather and re-augment the full global batch on every chip);
+    everything else is partitioner-propagated from the batch sharding.
+    ``mesh=None`` keeps single-shard fused semantics.
 
     ``pre_augmented``: --device_augment=false — the loader already ran the
     augmentation on host (data/host_augment.py); batch['image'] is the
@@ -131,6 +133,7 @@ def make_train_step(config: Config, model, tx: optax.GradientTransformation,
                 color_jitter_strength=config.color_jitter_strength,
                 use_blur=config.use_blur, dtype=aug_dtype, valid_hw=valid_hw,
                 host_cropped=host_cropped, color_impl=color_impl,
+                mesh=mesh,
             )
             # Supervised head sees both views: labels doubled
             # (tf2/run.py:596-601).
@@ -143,9 +146,25 @@ def make_train_step(config: Config, model, tx: optax.GradientTransformation,
             images = augment.preprocess_for_train(
                 images, k_aug, h, w, color_jitter_strength=0.0,
                 valid_hw=valid_hw, crop=not host_cropped,
-                color_impl=color_impl,
+                color_impl=color_impl, mesh=mesh,
             )
             sup_label_idx = labels
+
+        if mesh is not None and "spatial" in mesh.axis_names:
+            # --spatial_partition: shard the image HEIGHT over the 'spatial'
+            # mesh axis.  The constraint sits between the (batch-parallel)
+            # augmentation and the encoder, so every conv in the tower runs
+            # spatially partitioned — GSPMD inserts the halo exchanges for
+            # the kernel overlaps and the psums for the (B,H,W) BN
+            # reductions automatically (scaling-book spatial-partitioning
+            # recipe; nothing like it exists in the reference).
+            from jax.sharding import NamedSharding, PartitionSpec as P
+
+            from simclr_tpu.parallel import mesh as mesh_lib
+
+            images = jax.lax.with_sharding_constraint(
+                images, NamedSharding(
+                    mesh, P(mesh_lib.batch_axes(mesh), "spatial")))
 
         def loss_fn(params):
             (proj, logits_sup), mutated = model.apply(

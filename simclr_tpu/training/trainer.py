@@ -174,6 +174,13 @@ def train(config: Config) -> TrainState:
             "--use_shard_map with --dcn_data_parallelism>1 is not supported; "
             "the GSPMD path handles hybrid ICI+DCN meshes (hierarchical "
             "collectives come out of the partitioner)")
+    if config.use_shard_map and (mesh_lib.SPATIAL_AXIS in mesh.axis_names
+                                 or mesh_lib.MODEL_AXIS in mesh.axis_names):
+        raise ValueError(
+            "--use_shard_map supports pure data parallelism only; "
+            "--spatial_partition and a 'model' mesh axis need the GSPMD "
+            "path (the partitioner owns the halo-exchange / tensor-parallel "
+            "collectives)")
     fused_ntxent = resolve_use_fused_ntxent(config, mesh.size)
 
     ds, info = build_dataset(config, is_training=True)
