@@ -119,6 +119,7 @@ class Config:
     remat_until_block: int = _field(0, "Rematerialise (activation-checkpoint) block groups [0, N): recompute their activations in the backward pass instead of storing them. Use 2-4 for big models (R152 3x+SK) or large per-chip batches.")
     steps_per_loop: int = _field(0, "Device steps per host loop iteration (0 = checkpoint cadence, capped by loop_staging_budget_mb).")
     loop_staging_budget_mb: int = _field(1024, "HBM budget for raw input batches staged per device-loop dispatch; steps_per_loop is capped so spl x batch bytes fits (large-batch configs degrade to per-step async dispatch).")
+    compilation_cache_dir: Optional[str] = _field(None, "Persistent XLA compilation cache directory (shared across runs/processes). First compile of the R50 step costs 20-40s per process; with a warm cache restarts, preemption resumes, and multi-host bring-up skip it entirely. Unset = no persistent cache.")
     seed: int = _field(0, "PRNG seed.")
     num_images_default: int = _field(0, "Override number of train images when dataset metadata is unavailable.")
 

@@ -33,6 +33,7 @@ from simclr_tpu.training.metrics import MetricLogger, Throughput, write_result_j
 from simclr_tpu.training.state import TrainState
 from simclr_tpu.training import steps as steps_lib
 from simclr_tpu.training.steps import make_eval_step, make_multi_step, make_train_step
+from simclr_tpu.utils import compilation_cache
 
 log = logging.getLogger("simclr_tpu")
 
@@ -166,6 +167,7 @@ class PreemptionGuard:
 
 def train(config: Config) -> TrainState:
     assert config.model_dir, "--model_dir is required"
+    compilation_cache.maybe_enable(config)
     mesh_lib.maybe_initialize_distributed()
     mesh = mesh_lib.create_mesh(config)
     log.info("mesh: %s", mesh)
@@ -332,6 +334,7 @@ def evaluate(config: Config, state: Optional[TrainState] = None,
              checkpoint_step: Optional[int] = None) -> dict:
     """Single evaluation pass (tf2/run.py:348-432)."""
     assert config.model_dir, "--model_dir is required"
+    compilation_cache.maybe_enable(config)
     mesh = mesh_lib.create_mesh(config)
     ds, info = build_dataset(config, is_training=False)
     model, tx, lr_fn = build_model_and_optimizer(config, max(info.num_train_examples, 1), info.num_classes)

@@ -37,3 +37,29 @@ def test_prefetcher_immediate_exception():
 
 def test_prefetcher_clean_exhaustion_still_stops():
     assert list(Prefetcher(iter(range(4)))) == [0, 1, 2, 3]
+
+
+def test_compilation_cache_flag_populates_cache(tmp_path):
+    """--compilation_cache_dir: compiles land in the directory so restarts
+    (preemption resume, multi-host bring-up) skip the 20-40s first-jit."""
+    import os
+
+    import jax
+    import jax.numpy as jnp
+
+    from simclr_tpu.config import Config
+    from simclr_tpu.utils import compilation_cache
+
+    cache_dir = str(tmp_path / "xla_cache")
+    try:
+        compilation_cache.maybe_enable(Config(compilation_cache_dir=cache_dir))
+        # A fresh (non-trivial, uncached-in-memory) computation.
+        jax.jit(lambda x: jnp.sin(x) @ jnp.cos(x).T + 41.5)(
+            jnp.ones((17, 23))).block_until_ready()
+        assert os.path.isdir(cache_dir) and os.listdir(cache_dir)
+        # Unset (None) is a no-op and idempotent re-enable doesn't reconfigure.
+        compilation_cache.maybe_enable(Config())
+        compilation_cache.maybe_enable(Config(compilation_cache_dir=cache_dir))
+    finally:
+        jax.config.update("jax_compilation_cache_dir", None)
+        compilation_cache._enabled_dir = None

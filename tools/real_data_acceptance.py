@@ -105,6 +105,9 @@ def recipe_configs(recipe: str, data: str, eval_data, data_dir, model_dir,
             weight_decay=1e-4, temperature=0.5, image_size=32,
             eval_split="test", resnet_depth=18, use_blur=False,
             color_jitter_strength=0.5,
+            # ~5.6 steps/epoch at this scale: the default 1-epoch checkpoint
+            # cadence would save every 5 steps and dominate the run.
+            checkpoint_epochs=100,
             model_dir=os.path.join(model_dir, "pretrain"), **common)
         lin = Config(
             mode="train_then_eval", train_mode="finetune",
@@ -114,7 +117,7 @@ def recipe_configs(recipe: str, data: str, eval_data, data_dir, model_dir,
             weight_decay=0.0, train_epochs=max(1, int(50 * scale)),
             train_batch_size=max(8, int(256 * scale)), warmup_epochs=0,
             image_size=32, eval_split="test", resnet_depth=18,
-            checkpoint=pre.model_dir,
+            checkpoint=pre.model_dir, checkpoint_epochs=25,
             model_dir=os.path.join(model_dir, "lineareval"), **common)
         bar = 0.85
     else:
