@@ -31,7 +31,9 @@ BASELINE_IMAGES_PER_SEC_PER_CHIP = 185.0  # TF2 reference on TPU v3 (README.md:1
 def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--train_mode", default="pretrain",
-                    choices=["pretrain", "finetune"])
+                    choices=["pretrain", "finetune", "infer"],
+                    help="'infer' = serving throughput: frozen-BN forward "
+                         "only (the exported graph), uint8 in, bf16 MXU.")
     ap.add_argument("--color_impl", default=None, choices=["xla", "pallas"],
                     help="Force the augmentation backend (default: auto = "
                          "fused Pallas on TPU) for step-level A/Bs.")
@@ -69,6 +71,10 @@ def main():
     mesh = mesh_lib.create_mesh(config)
     model, tx, lr_fn = trainer.build_model_and_optimizer(config, 1281167, 1000)
     state = trainer.init_state(config, model, tx, mesh, (256, 256, 3))
+
+    if args.train_mode == "infer":
+        return bench_infer(args, config, mesh, model, state, n_chips)
+
     mask = trainable_mask(config, state.params)
     train_step = make_train_step(config, model, masked(tx, mask), lr_fn,
                                  color_impl=args.color_impl)
@@ -111,6 +117,54 @@ def main():
     per_chip = images_per_sec / n_chips
     print(json.dumps({
         "metric": f"resnet50_{args.train_mode}_images_per_sec_per_chip",
+        "value": round(per_chip, 2),
+        "unit": "images/sec/chip",
+        "vs_baseline": round(per_chip / BASELINE_IMAGES_PER_SEC_PER_CHIP, 3),
+    }))
+
+
+def bench_infer(args, config, mesh, model, state, n_chips):
+    """Serving throughput: the exported inference graph (frozen BN, all
+    endpoints) on 224² uint8 batches — forward only, bf16 MXU.  The
+    reference publishes no serving number; this is the rate its SavedModel
+    consumers (colabs, Hub users) would care about on this chip."""
+    import time
+
+    from jax.sharding import NamedSharding, PartitionSpec as P
+    from simclr_tpu.parallel import mesh as mesh_lib
+
+    batch = args.per_chip_batch * n_chips
+    steps = args.steps
+    hw = config.image_size
+    var_in = {"params": state.params, "batch_stats": state.batch_stats}
+
+    def forward(images_u8):
+        x = images_u8.astype(jnp.float32) / 255.0
+        out = model.apply(var_in, x, train=False, return_endpoints=True)
+        _, _, endpoints = out
+        return endpoints["final_avg_pool"]
+
+    def scan_fn(carry, images_u8):
+        # carry a checksum so every step is data-dependent on the last
+        # (the chain can't be elided or overlapped past the fetch).
+        return carry + forward(images_u8).mean(), None
+
+    multi = jax.jit(lambda bs: jax.lax.scan(scan_fn, jnp.float32(0), bs)[0])
+
+    rng = np.random.RandomState(0)
+    imgs = rng.randint(0, 256, size=(steps, batch, hw, hw, 3), dtype=np.uint8)
+    sharding = NamedSharding(mesh, P(None, mesh_lib.DATA_AXIS))
+    device_imgs = jax.device_put(imgs, sharding)
+
+    float(multi(device_imgs))  # warmup / compile
+    trials = []
+    for _ in range(3):
+        t0 = time.perf_counter()
+        float(multi(device_imgs))  # host fetch = full sync
+        trials.append(time.perf_counter() - t0)
+    per_chip = steps * batch / min(trials) / n_chips
+    print(json.dumps({
+        "metric": "resnet50_infer_images_per_sec_per_chip",
         "value": round(per_chip, 2),
         "unit": "images/sec/chip",
         "vs_baseline": round(per_chip / BASELINE_IMAGES_PER_SEC_PER_CHIP, 3),

@@ -76,6 +76,7 @@ class Config:
     keep_checkpoint_max: int = _field(5, "Maximum checkpoints to keep.")
     keep_hub_module_max: int = _field(1, "Maximum exported serving modules to keep.")
     export_tf_savedmodel: bool = _field(False, "Also convert each serving bundle to a TF SavedModel (two signatures: frozen-stats + train-mode BN, reference tf2/run.py:241-305) via jax2tf; requires tensorflow importable.")
+    export_stablehlo: bool = _field(False, "Also serialize each serving bundle's inference graph to a portable StableHLO artifact (jax.export, symbolic batch dim, CPU+TPU lowerings) for XLA-native serving stacks.")
     model_dir: Optional[str] = _field(None, "Model directory for checkpoints / summaries / results.")
     eval_name: Optional[str] = _field(None, "Name for this eval; namespaces the eval summary folder (model_dir/eval_<name>), like estimator.evaluate(name=...).")
 

@@ -56,20 +56,25 @@ def export_serving(config: Config, state: TrainState, num_classes: int,
     return path
 
 
-def load_serving(path: str) -> Callable[..., Dict[str, jnp.ndarray]]:
-    """Load a serving bundle -> callable(images, trainable=False) -> dict.
-
-    Mirrors colab usage ``saved_model(x, trainable=False)['final_avg_pool']``
-    (tf2/colabs/finetuning.ipynb cell 9).
-    """
+def _load_bundle(path: str):
+    """(config, num_classes, variables) from a serving bundle directory."""
     with open(os.path.join(path, "serving_config.json")) as f:
         cfg_dict = json.load(f)
     num_classes = cfg_dict.pop("num_classes")
     cfg_dict.pop("step", None)
     known = {f.name for f in __import__("dataclasses").fields(Config)}
     config = Config(**{k: v for k, v in cfg_dict.items() if k in known})
-
     variables = ocp.PyTreeCheckpointer().restore(os.path.join(path, "variables"))
+    return config, num_classes, variables
+
+
+def load_serving(path: str) -> Callable[..., Dict[str, jnp.ndarray]]:
+    """Load a serving bundle -> callable(images, trainable=False) -> dict.
+
+    Mirrors colab usage ``saved_model(x, trainable=False)['final_avg_pool']``
+    (tf2/colabs/finetuning.ipynb cell 9).
+    """
+    config, num_classes, variables = _load_bundle(path)
     model = SimCLRModel.from_config(config, num_classes)
 
     def serve(images, trainable: bool = False):
@@ -92,6 +97,67 @@ def load_serving(path: str) -> Callable[..., Dict[str, jnp.ndarray]]:
     return jax.jit(serve, static_argnames=("trainable",))
 
 
+def export_stablehlo(bundle_path: str, out_path: Optional[str] = None,
+                     platforms=("cpu", "tpu")) -> str:
+    """Serialize the frozen-BN inference graph to a portable StableHLO
+    artifact via ``jax.export`` — the TPU-native serving format.
+
+    The reference ships serving as a TF SavedModel (tf2/run.py:241-305);
+    that artifact exists here too (``export_tf_savedmodel``).  This one is
+    for serving stacks that speak XLA directly (a C++ PJRT runtime, or any
+    JAX process): the artifact is the compiled-IR contract itself — no
+    Python model code, flax, or even this package needed to run it, and the
+    multi-platform lowering serves the SAME bytes on CPU and TPU.
+
+    The batch dimension is symbolic, so one artifact serves any batch size.
+    Model variables stay in the bundle's Orbax ``variables`` tree (passed
+    as call arguments, keeping the artifact a few hundred KB instead of
+    baking hundreds of MB of weights into the IR); ``load_stablehlo``
+    pairs the two.  Returns the artifact path
+    (``<bundle>/serving.stablehlo``).
+    """
+    from jax import export as jax_export
+
+    config, num_classes, variables = _load_bundle(bundle_path)
+    model = SimCLRModel.from_config(config, num_classes)
+    var_in = {"params": variables["params"], "batch_stats": variables["batch_stats"]}
+    flat, treedef = jax.tree.flatten(var_in)
+
+    def serve_flat(flat_vars, images):
+        out = model.apply(jax.tree.unflatten(treedef, flat_vars), images,
+                          train=False, return_endpoints=True)
+        _, _, endpoints = out
+        endpoints = dict(endpoints)
+        endpoints["default"] = endpoints["final_avg_pool"]
+        return endpoints
+
+    hw = config.image_size
+    (b,) = jax_export.symbolic_shape("b")
+    img_spec = jax.ShapeDtypeStruct((b, hw, hw, 3), jnp.float32)
+    var_specs = [jax.ShapeDtypeStruct(v.shape, v.dtype) for v in flat]
+    exported = jax_export.export(
+        jax.jit(serve_flat), platforms=tuple(platforms))(var_specs, img_spec)
+    out_path = out_path or os.path.join(bundle_path, "serving.stablehlo")
+    with open(out_path, "wb") as f:
+        f.write(exported.serialize())
+    return out_path
+
+
+def load_stablehlo(bundle_path: str, artifact: Optional[str] = None):
+    """Rehydrate a ``serving.stablehlo`` artifact + the bundle's variables
+    into ``callable(images) -> endpoint dict`` (inference graph only)."""
+    from jax import export as jax_export
+
+    artifact = artifact or os.path.join(bundle_path, "serving.stablehlo")
+    with open(artifact, "rb") as f:
+        exported = jax_export.deserialize(f.read())
+    _, _, variables = _load_bundle(bundle_path)
+    var_in = {"params": variables["params"], "batch_stats": variables["batch_stats"]}
+    flat, _ = jax.tree.flatten(var_in)
+    flat = [jnp.asarray(v) for v in flat]
+    return lambda images: exported.call(flat, images)
+
+
 def export_tf_savedmodel(bundle_path: str, out_path: Optional[str] = None) -> str:
     """Convert a serving bundle to a TF-ecosystem-consumable SavedModel.
 
@@ -110,13 +176,7 @@ def export_tf_savedmodel(bundle_path: str, out_path: Optional[str] = None) -> st
     import tensorflow as tf  # noqa: deferred heavy import
     from jax.experimental import jax2tf
 
-    with open(os.path.join(bundle_path, "serving_config.json")) as f:
-        cfg_dict = json.load(f)
-    num_classes = cfg_dict.pop("num_classes")
-    cfg_dict.pop("step", None)
-    known = {f.name for f in __import__("dataclasses").fields(Config)}
-    config = Config(**{k: v for k, v in cfg_dict.items() if k in known})
-    variables = ocp.PyTreeCheckpointer().restore(os.path.join(bundle_path, "variables"))
+    config, num_classes, variables = _load_bundle(bundle_path)
     model = SimCLRModel.from_config(config, num_classes)
 
     def fwd(var_in, images, train: bool):

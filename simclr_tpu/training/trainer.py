@@ -423,6 +423,12 @@ def evaluate(config: Config, state: Optional[TrainState] = None,
             # TF-ecosystem artifact for the colabs / Hub consumers
             # (tf2/run.py:241-305); opt-in, needs tensorflow importable.
             export_tf_savedmodel(bundle)
+        if config.export_stablehlo:
+            # XLA-native serving artifact (jax.export IR, no Python model
+            # code needed to serve it).
+            from simclr_tpu.export import export_stablehlo
+
+            export_stablehlo(bundle)
     except Exception as e:  # export must not break eval
         log.warning("serving export failed: %s", e)
     log.info("eval @ step %d: %s", step, result)
