@@ -66,7 +66,9 @@ def main():
         compute_dtype="bfloat16",
         use_blur=pretrain,
         color_jitter_strength=1.0 if pretrain else 0.0,
-        train_mode=args.train_mode,
+        # 'infer' is a bench-only mode, not a Config value: build the model
+        # in its finetune (single-view) shape and branch locally below.
+        train_mode="finetune" if args.train_mode == "infer" else args.train_mode,
     )
     mesh = mesh_lib.create_mesh(config)
     model, tx, lr_fn = trainer.build_model_and_optimizer(config, 1281167, 1000)
@@ -142,12 +144,15 @@ def bench_infer(args, config, mesh, model, state, n_chips):
         x = images_u8.astype(jnp.float32) / 255.0
         out = model.apply(var_in, x, train=False, return_endpoints=True)
         _, _, endpoints = out
-        return endpoints["final_avg_pool"]
+        # Every endpoint the serving artifact computes must feed the
+        # checksum, or XLA dead-code-eliminates the heads and the number
+        # overstates serving throughput.
+        return sum(jnp.mean(v.astype(jnp.float32)) for v in endpoints.values())
 
     def scan_fn(carry, images_u8):
         # carry a checksum so every step is data-dependent on the last
         # (the chain can't be elided or overlapped past the fetch).
-        return carry + forward(images_u8).mean(), None
+        return carry + forward(images_u8), None
 
     multi = jax.jit(lambda bs: jax.lax.scan(scan_fn, jnp.float32(0), bs)[0])
 
@@ -163,11 +168,13 @@ def bench_infer(args, config, mesh, model, state, n_chips):
         float(multi(device_imgs))  # host fetch = full sync
         trials.append(time.perf_counter() - t0)
     per_chip = steps * batch / min(trials) / n_chips
+    # No vs_baseline: the 185 img/s baseline is a TRAINING rate; dividing a
+    # forward-only throughput by it would be a meaningless ~69x.
     print(json.dumps({
         "metric": "resnet50_infer_images_per_sec_per_chip",
         "value": round(per_chip, 2),
         "unit": "images/sec/chip",
-        "vs_baseline": round(per_chip / BASELINE_IMAGES_PER_SEC_PER_CHIP, 3),
+        "vs_baseline": None,
     }))
 
 

@@ -120,11 +120,23 @@ class Config:
     remat_until_block: int = _field(0, "Rematerialise (activation-checkpoint) block groups [0, N): recompute their activations in the backward pass instead of storing them. Use 2-4 for big models (R152 3x+SK) or large per-chip batches.")
     steps_per_loop: int = _field(0, "Device steps per host loop iteration (0 = checkpoint cadence, capped by loop_staging_budget_mb).")
     loop_staging_budget_mb: int = _field(1024, "HBM budget for raw input batches staged per device-loop dispatch; steps_per_loop is capped so spl x batch bytes fits (large-batch configs degrade to per-step async dispatch).")
-    compilation_cache_dir: Optional[str] = _field(None, "Persistent XLA compilation cache directory (shared across runs/processes). First compile of the R50 step costs 20-40s per process; with a warm cache restarts, preemption resumes, and multi-host bring-up skip it entirely. Unset = no persistent cache.")
+    compilation_cache_dir: Optional[str] = _field(None, "Persistent XLA compilation cache directory (shared across runs/processes). First compile of the R50 step costs 20-40s per process; with a warm cache restarts, preemption resumes, and multi-host bring-up skip it entirely. Every jit is cached (even tiny ones), so a long-lived shared directory accumulates entries; growth is bounded by LRU eviction at --compilation_cache_max_size_mb. Unset = no persistent cache.")
+    compilation_cache_max_size_mb: int = _field(4096, "LRU size bound (MB) for --compilation_cache_dir; oldest entries are evicted past it.")
     seed: int = _field(0, "PRNG seed.")
     num_images_default: int = _field(0, "Override number of train images when dataset metadata is unavailable.")
 
     # ----------------------------------------------------------------------
+    def __post_init__(self):
+        # Every framework branch tests equality against one of the known
+        # values; an out-of-domain string would silently fall into the
+        # "else" paths (e.g. finetune-like view counts), so reject it here.
+        if self.train_mode not in ("pretrain", "finetune"):
+            raise ValueError(
+                f"train_mode must be 'pretrain' or 'finetune', got {self.train_mode!r}")
+        if self.mode not in ("train", "eval", "train_then_eval"):
+            raise ValueError(
+                f"mode must be train | eval | train_then_eval, got {self.mode!r}")
+
     def replace(self, **kw) -> "Config":
         return dataclasses.replace(self, **kw)
 

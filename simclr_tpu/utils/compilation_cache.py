@@ -35,5 +35,11 @@ def maybe_enable(config) -> None:
     # dominate a restart on a slow host.
     jax.config.update("jax_persistent_cache_min_compile_time_secs", 0)
     jax.config.update("jax_persistent_cache_min_entry_size_bytes", -1)
+    # Caching everything means a directory shared across many runs grows
+    # without limit; bound it with JAX's LRU eviction so long-lived shared
+    # caches self-trim instead of accumulating thousands of stale entries.
+    jax.config.update("jax_compilation_cache_max_size",
+                      getattr(config, "compilation_cache_max_size_mb", 4096)
+                      * 1024 * 1024)
     _enabled_dir = cache_dir
     log.info("persistent compilation cache at %s", cache_dir)

@@ -51,6 +51,14 @@ def test_compilation_cache_flag_populates_cache(tmp_path):
     from simclr_tpu.utils import compilation_cache
 
     cache_dir = str(tmp_path / "xla_cache")
+    # Snapshot EVERY config value maybe_enable touches, so cache-everything
+    # thresholds don't leak into the rest of the pytest session.
+    saved = {name: getattr(jax.config, name) for name in (
+        "jax_compilation_cache_dir",
+        "jax_persistent_cache_min_compile_time_secs",
+        "jax_persistent_cache_min_entry_size_bytes",
+        "jax_compilation_cache_max_size",
+    )}
     try:
         compilation_cache.maybe_enable(Config(compilation_cache_dir=cache_dir))
         # A fresh (non-trivial, uncached-in-memory) computation.
@@ -61,5 +69,6 @@ def test_compilation_cache_flag_populates_cache(tmp_path):
         compilation_cache.maybe_enable(Config())
         compilation_cache.maybe_enable(Config(compilation_cache_dir=cache_dir))
     finally:
-        jax.config.update("jax_compilation_cache_dir", None)
+        for name, value in saved.items():
+            jax.config.update(name, value)
         compilation_cache._enabled_dir = None
