@@ -202,8 +202,17 @@ class SyntheticDataset:
             # the multi-process equivalence test).
             images = rng.randint(0, 256, size=(self.batch_size, h, w, c), dtype=np.uint8)
             labels = rng.randint(0, self.num_classes, size=(self.batch_size,)).astype(np.int32)
-            images, labels = shard_for_process(images, labels)
-            yield {"image": images, "label": labels}
+            if self.is_training:
+                images, labels = shard_for_process(images, labels)
+                yield {"image": images, "label": labels}
+            else:
+                # Exact eval masks (first-tier loader contract): tag each row
+                # with its global stream position; evaluate() masks rows by
+                # index >= num_eval_examples under any process count.
+                gidx = (idx * self.batch_size
+                        + np.arange(self.batch_size)).astype(np.int32)
+                images, labels, gidx = shard_for_process(images, labels, gidx)
+                yield {"image": images, "label": labels, "index": gidx}
             idx += 1
 
 
@@ -489,12 +498,43 @@ def make_array_pipeline(config: Config, images: np.ndarray, labels: np.ndarray,
         try:
             from simclr_tpu.data.native_pipeline import (
                 NativeArrayPipeline, NativePipelineUnavailable)
-
-            return NativeArrayPipeline(images, labels, batch_size, is_training,
-                                       seed=config.seed)
-        except Exception as e:  # NativePipelineUnavailable or import error
+        except ImportError as e:
+            NativeArrayPipeline = None
             logging.getLogger("simclr_tpu").warning(
                 "native input pipeline unavailable (%s); using python", e)
+        if NativeArrayPipeline is not None:
+            import jax
+
+            n_proc, p_idx = jax.process_count(), jax.process_index()
+            seed, kw = config.seed, {}
+            if n_proc > 1:
+                # Per-process sharding: contiguous slice + local batch, like
+                # the reference's per-pipeline input_context split
+                # (tf2/data.py:43-47).  Training shuffles each shard with a
+                # decorrelated seed (reference semantics: every input
+                # pipeline shuffles its own shard independently); eval keeps
+                # exact global index tags + filler batches for ragged shards.
+                if batch_size % n_proc:
+                    raise ValueError(
+                        f"batch size {batch_size} not divisible by "
+                        f"{n_proc} processes (native pipeline)")
+                n = len(images)
+                per = -(-n // n_proc)  # ceil-split: first shards are larger
+                lo, hi = min(p_idx * per, n), min((p_idx + 1) * per, n)
+                local_bs = batch_size // n_proc
+                if is_training:
+                    seed = config.seed + 7919 * p_idx
+                else:
+                    kw = dict(index_offset=lo, num_examples_global=n,
+                              expected_batches=-(-per // local_bs))
+                images, labels = images[lo:hi], labels[lo:hi]
+                batch_size = local_bs
+            try:
+                return NativeArrayPipeline(images, labels, batch_size,
+                                           is_training, seed=seed, **kw)
+            except NativePipelineUnavailable as e:  # no g++ on this host
+                logging.getLogger("simclr_tpu").warning(
+                    "native input pipeline unavailable (%s); using python", e)
     elif kind == "grain":
         try:
             import jax
@@ -563,7 +603,15 @@ def build_dataset(config: Config, is_training: bool):
         data = np.load(path)
         images, labels = data["images"], data["labels"]
         num_classes = int(labels.max()) + 1
-        split = len(images) * 9 // 10
+        if config.eval_dataset and config.eval_dataset != config.dataset:
+            # A dedicated held-out eval source exists (--eval_dataset): train
+            # on the WHOLE file.  The 90/10 auto-split below is only for
+            # self-contained single-npz runs; holding out rows here would
+            # silently shrink label-fraction subsets (1% of labels must mean
+            # 1%, not 0.9% — README.md:157-167 semi-supervised recipes).
+            split = len(images)
+        else:
+            split = len(images) * 9 // 10
         tr_images, tr_labels = images[:split], labels[:split]
         if pct is not None:
             from simclr_tpu.data import subsets as subsets_lib

@@ -16,7 +16,8 @@
 //
 // C ABI (used via ctypes from data/native_pipeline.py):
 //   void* sp_create(images, n, item_bytes, labels, batch, seed,
-//                   num_threads, queue_depth, drop_remainder, loop);
+//                   num_threads, queue_depth, drop_remainder, loop,
+//                   start_batch);  // resume: first batch index produced
 //   long  sp_next(handle, out_images, out_labels);  // returns batch index,
 //                                                   // -1 at end of data
 //   void  sp_destroy(handle);
@@ -86,12 +87,15 @@ struct Pipeline {
   void assemble(int64_t batch_idx, Slot& slot) {
     int64_t epoch = batch_idx / batches_per_epoch;
     int64_t within = batch_idx % batches_per_epoch;
-    const std::vector<int64_t>& p = permutation_for(epoch);
+    // Eval (single pass) is SEQUENTIAL: consumers tag row k of batch b with
+    // global index b*batch+k for exact padding masks; shuffling only exists
+    // for training epochs.
+    const std::vector<int64_t>* p = loop ? &permutation_for(epoch) : nullptr;
     int64_t start = within * batch;
     for (int64_t k = 0; k < batch; ++k) {
       int64_t src_pos = start + k;
       // final partial batch (eval only): pad by wrapping to index 0
-      int64_t src = src_pos < n ? p[src_pos] : 0;
+      int64_t src = src_pos < n ? (p ? (*p)[src_pos] : src_pos) : 0;
       std::memcpy(slot.images.data() + k * item_bytes, images + src * item_bytes,
                   static_cast<size_t>(item_bytes));
       slot.labels[static_cast<size_t>(k)] = labels ? labels[src] : 0;
@@ -128,7 +132,7 @@ extern "C" {
 void* sp_create(const uint8_t* images, int64_t n, int64_t item_bytes,
                 const int32_t* labels, int64_t batch, int seed,
                 int num_threads, int queue_depth, int drop_remainder,
-                int loop) {
+                int loop, int64_t start_batch) {
   auto* p = new Pipeline();
   p->images = images;
   p->labels = labels;
@@ -141,6 +145,12 @@ void* sp_create(const uint8_t* images, int64_t n, int64_t item_bytes,
   p->batches_per_epoch =
       p->drop_remainder ? n / batch : (n + batch - 1) / batch;
   p->total_batches = p->loop ? -1 : p->batches_per_epoch;
+  // Resume (training): every batch is a pure function of its global index
+  // (epoch permutation + offset), so continuing from step k is just
+  // starting both cursors there — the exact sequence an uninterrupted run
+  // would have produced.
+  p->next_produce.store(start_batch);
+  p->next_consume.store(start_batch);
   for (int q = 0; q < queue_depth; ++q) {
     auto s = std::make_unique<Slot>();
     s->images.resize(static_cast<size_t>(batch * item_bytes));

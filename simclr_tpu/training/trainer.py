@@ -255,10 +255,18 @@ def train(config: Config) -> TrainState:
     cur_step = int(jax.device_get(state.step))
     log.info("training from step %d to %d (checkpoint every %d, %d steps/loop)",
              cur_step, total_steps, checkpoint_steps, spl)
-    if cur_step and hasattr(ds, "set_start_step"):
-        # Resume continues the data order from the restored step instead of
-        # repeating early-epoch batches.
-        ds.set_start_step(cur_step)
+    if cur_step:
+        if hasattr(ds, "set_start_step"):
+            # Resume continues the data order from the restored step instead
+            # of repeating early-epoch batches.
+            ds.set_start_step(cur_step)
+        else:
+            # Every shipped loader supports resume; a custom source that
+            # doesn't restarts its data order — say so instead of silently
+            # replaying early epochs.
+            log.warning("loader %s has no set_start_step: resumed run "
+                        "restarts the data order from step 0",
+                        type(ds).__name__)
     it = iter(Prefetcher(ds))
     guard = PreemptionGuard().install()
     t_start = time.time()
@@ -371,11 +379,21 @@ def evaluate(config: Config, state: Optional[TrainState] = None,
             batch = dict(batch, mask=mask)
             remaining = target - num_seen  # round accounting only
         else:
+            if jax.process_count() > 1:
+                # Positional masks assume contiguous per-process slices; a
+                # loader with any other sharding pattern (e.g. strided) would
+                # be silently misattributed.  Every first-tier loader tags
+                # indices — an index-less batch here is a loader bug, not a
+                # degraded mode.
+                raise ValueError(
+                    "multi-process eval requires global 'index' tags on every "
+                    f"batch; the {type(ds).__name__} loader "
+                    f"(--input_pipeline={config.input_pipeline}) yielded an "
+                    "index-less batch")
             remaining = target - num_seen
-            # Contiguous-slice sources: this host's rows' global indices
-            # are offset + arange.
-            offset = jax.process_index() * bs_local
-            mask = ((offset + np.arange(bs_local)) < remaining).astype(np.float32)
+            # Single process: rows are stream-ordered, so the mask is
+            # positional.
+            mask = (np.arange(bs_local) < remaining).astype(np.float32)
             batch = dict(batch, mask=mask)
         out = jax.device_get(eval_step(state, _put_batch(batch, mesh)))
         for k, v in out.items():

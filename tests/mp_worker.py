@@ -84,6 +84,34 @@ def main():
     one_synced = guard.sync()       # one process signalled -> everyone True
     print(f"PREEMPTSYNC {int(none_synced)} {int(one_synced)}", flush=True)
 
+    # Fail-loud eval sharding (VERDICT r4 #5): multi-process eval must
+    # REJECT index-less batches (positional masks assume contiguous slices
+    # and would silently misattribute any other sharding), not guess.  The
+    # raise happens before any collective, so both processes exit cleanly.
+    class _StripIndex:
+        def __init__(self, ds):
+            self.ds = ds
+
+        def __iter__(self):
+            for b in self.ds:
+                yield {k: v for k, v in b.items() if k != "index"}
+
+    orig_build = trainer.build_dataset
+
+    def _index_less(cfg, is_training):
+        ds, info = orig_build(cfg, is_training)
+        return (ds if is_training else _StripIndex(ds)), info
+
+    trainer.build_dataset = _index_less
+    try:
+        trainer.evaluate(config, state=state)
+        print("EVALRAISE missing", flush=True)
+    except ValueError as e:
+        assert "index" in str(e), e
+        print("EVALRAISE ok", flush=True)
+    finally:
+        trainer.build_dataset = orig_build
+
 
 if __name__ == "__main__":
     main()

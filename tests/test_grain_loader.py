@@ -54,3 +54,89 @@ def test_sharding(arrays):
     s1 = next(iter(GrainArrayPipeline(images, labels, 4, True, seed=3,
                                       shard_index=1, shard_count=2)))
     assert set(s0["label"]).isdisjoint(set(s1["label"]))
+    # batch_size is GLOBAL: each shard yields its half (first-tier loader
+    # contract, reference tf2/data.py:43-47 per-replica batch).
+    assert len(s0["label"]) == 2 and len(s1["label"]) == 2
+
+
+def test_exact_resume(arrays):
+    """set_start_step(k) continues the EXACT batch sequence an
+    uninterrupted run produces — not just the epoch phase (VERDICT r4 #2)."""
+    images, labels = arrays
+    full = GrainArrayPipeline(images, labels, 8, True, seed=5)
+    it = iter(full)
+    expect = [next(it)["label"] for _ in range(9)]  # spans an epoch boundary
+
+    resumed = GrainArrayPipeline(images, labels, 8, True, seed=5)
+    resumed.set_start_step(6)
+    it2 = iter(resumed)
+    for k in range(6, 9):
+        np.testing.assert_array_equal(next(it2)["label"], expect[k])
+
+
+def test_exact_resume_sharded(arrays):
+    images, labels = arrays
+    for shard in (0, 1):
+        full = GrainArrayPipeline(images, labels, 8, True, seed=2,
+                                  shard_index=shard, shard_count=2)
+        expect = [b["label"] for _, b in zip(range(7), iter(full))]
+        resumed = GrainArrayPipeline(images, labels, 8, True, seed=2,
+                                     shard_index=shard, shard_count=2)
+        resumed.set_start_step(4)
+        it = iter(resumed)
+        for k in range(4, 7):
+            np.testing.assert_array_equal(next(it)["label"], expect[k])
+
+
+def test_eval_index_tags(arrays):
+    """Eval rows carry exact global indices; pad rows carry num_examples."""
+    images, labels = arrays
+    p = GrainArrayPipeline(images, labels, 8, False)
+    batches = list(iter(p))
+    idx = np.concatenate([b["index"] for b in batches])
+    real = idx[idx < 37]
+    assert sorted(real) == list(range(37))
+    assert np.all(idx[idx >= 37] == 37)  # pad rows masked exactly
+    for b in batches:  # tags match the actual rows (labels are arange)
+        m = b["index"] < 37
+        np.testing.assert_array_equal(b["label"][m], b["index"][m])
+
+
+def test_eval_sharded_index_and_filler(arrays):
+    """2-shard eval: strided grain shards still carry exact global tags,
+    cover every example exactly once, and both shards emit the same batch
+    count (ragged filler protocol)."""
+    images, labels = arrays
+    shards = [list(iter(GrainArrayPipeline(images, labels, 8, False,
+                                           shard_index=i, shard_count=2)))
+              for i in (0, 1)]
+    assert len(shards[0]) == len(shards[1])  # same collective step count
+    assert all(len(b["label"]) == 4 for s in shards for b in s)
+    idx = np.concatenate([b["index"] for s in shards for b in s])
+    real = idx[idx < 37]
+    assert sorted(real) == list(range(37))  # exactly once, no double count
+    for s in shards:
+        for b in s:
+            m = b["index"] < 37
+            np.testing.assert_array_equal(b["label"][m], b["index"][m])
+
+
+def test_eval_ragged_filler_batches(arrays):
+    """33 examples over 2 shards (17/16) at local batch 4: shard 1 is one
+    batch short and must emit a fully-masked filler batch so both shards
+    join the same number of collective eval steps."""
+    images, labels = arrays
+    images, labels = images[:33], labels[:33]
+    shards = [list(iter(GrainArrayPipeline(images, labels, 8, False,
+                                           shard_index=i, shard_count=2)))
+              for i in (0, 1)]
+    assert len(shards[0]) == 5 and len(shards[1]) == 5
+    assert np.all(shards[1][-1]["index"] == 33)  # filler: every row masked
+    idx = np.concatenate([b["index"] for s in shards for b in s])
+    assert sorted(idx[idx < 33]) == list(range(33))
+
+
+def test_global_batch_not_divisible_raises(arrays):
+    images, labels = arrays
+    with pytest.raises(ValueError):
+        GrainArrayPipeline(images, labels, 9, True, shard_count=2)

@@ -129,3 +129,8 @@ def test_two_process_training_matches_single_process(tmp_path):
         m = re.search(r"PREEMPTSYNC (\d) (\d)", out)
         assert m, f"worker missing PREEMPTSYNC line:\n{out[-2000:]}"
         assert m.group(1) == "0" and m.group(2) == "1"
+
+    # Fail-loud eval sharding (VERDICT r4 #5): index-less batches under
+    # process_count>1 must raise, not silently misattribute rows.
+    for out in outs:
+        assert "EVALRAISE ok" in out, f"worker output:\n{out[-2000:]}"
