@@ -119,10 +119,125 @@ def recipe_configs(recipe: str, data: str, eval_data, data_dir, model_dir,
             image_size=32, eval_split="test", resnet_depth=18,
             checkpoint=pre.model_dir, checkpoint_epochs=25,
             model_dir=os.path.join(model_dir, "lineareval"), **common)
-        bar = 0.85
+        # First full run (TPU, 2026-08-19) scored 0.9638; the bar sits just
+        # under it so a regression can't hide beneath the original 0.85
+        # feasibility bar (VERDICT r4 weak #7).
+        bar = 0.93
     else:
         raise ValueError(f"unknown recipe {recipe!r}")
     return pre, lin, bar
+
+
+def make_label_fraction_npz(train_npz, fraction, out_path, seed=0):
+    """Balanced per-class label subset of an npz train file: keep
+    max(1, round(fraction * n_c)) examples of each class, mirroring the
+    reference's per-class ImageNet subset ID lists
+    (/root/reference/imagenet_subsets/ — ~13 and ~128 images per class for
+    1%/10%).  Deterministic under ``seed``."""
+    import numpy as np
+
+    data = np.load(train_npz)
+    images, labels = data["images"], data["labels"]
+    rng = np.random.RandomState(seed)
+    keep = []
+    for c in np.unique(labels):
+        idx = np.flatnonzero(labels == c)
+        n_keep = max(1, int(round(len(idx) * fraction)))
+        keep.append(rng.permutation(idx)[:n_keep])
+    keep = np.sort(np.concatenate(keep))
+    np.savez(out_path, images=images[keep], labels=labels[keep])
+    return out_path, len(keep)
+
+
+def semisup_finetune_config(data, eval_data, checkpoint_dir, model_dir,
+                            epochs, batch, image_size=32, resnet_depth=18):
+    """The reference's semi-supervised whole-network fine-tune, flag for
+    flag (/root/reference/README.md:157-167): fine_tune_after_block=-1,
+    zero-init logits, variable_schema keeping the PROJECTION head (SimCLRv2
+    warm start), global BN, LARS lr 0.005 sqrt-scaled, weight decay 0,
+    num_proj_layers=3 + ft_proj_selector=1.  Only epochs/batch/image size
+    are re-scaled to the dataset (as the reference itself varies them
+    between ImageNet and CIFAR commands)."""
+    from simclr_tpu.config import Config
+
+    return Config(
+        mode="train_then_eval", train_mode="finetune",
+        fine_tune_after_block=-1, zero_init_logits_layer=True,
+        variable_schema=r"(?!global_step|(?:.*/|^)Momentum|head_supervised)",
+        global_bn=True, optimizer="lars", learning_rate=0.005,
+        learning_rate_scaling="sqrt", weight_decay=0.0,
+        train_epochs=epochs, train_batch_size=batch, warmup_epochs=0,
+        image_size=image_size, eval_split="test", resnet_depth=resnet_depth,
+        num_proj_layers=3, ft_proj_selector=1,
+        checkpoint=checkpoint_dir,
+        checkpoint_epochs=max(1, epochs // 4),
+        dataset=data, eval_dataset=eval_data, model_dir=model_dir)
+
+
+# First-run calibration (TPU v5e-lite, 2026-08-19, unattended): 1pct
+# (13 labeled digits) top-1 0.7604, 10pct (144) 0.9331 — chance 0.1.  Bars
+# sit a few points under the observed numbers so real regressions (a broken
+# warm start, a dead projection-head graft) fail loudly while day-to-day
+# training noise does not.  Recorded in docs/PARITY.md.
+SEMISUP_BARS = {0.01: 0.70, 0.10: 0.85}
+
+
+def run_semisup(data, eval_data, model_dir, scale=1.0, bars=None,
+                fractions=(0.01, 0.10)):
+    """Semi-supervised label-fraction acceptance (VERDICT r4 #1): pretrain
+    on ALL images, then fine-tune the WHOLE network on 1% / 10% of labels
+    with the exact reference flag shape, and check each top-1 bar.
+
+    The reference's contract is /root/reference/README.md:157-167 (ImageNet
+    1%/10% subsets); this executes the same two-phase recipe at digits
+    scale — the only real-image dataset available offline."""
+    import numpy as np
+
+    from simclr_tpu.training import trainer
+
+    assert data.startswith("npz:") and eval_data.startswith("npz:"), (
+        "semisup acceptance needs npz train/test sources")
+    pre, _, _ = recipe_configs("digits", data, eval_data, None, model_dir,
+                               scale)
+    print(f"[acceptance] phase 1/{1 + len(fractions)}: pretrain "
+          f"({pre.train_epochs} epochs, batch {pre.train_batch_size}, "
+          f"num_proj_layers={pre.num_proj_layers})", flush=True)
+    trainer.train(pre)
+
+    bars = {**SEMISUP_BARS, **(bars or {})}
+    results = {}
+    for i, frac in enumerate(fractions):
+        tag = f"{int(round(frac * 100))}pct"
+        sub_npz, n_sub = make_label_fraction_npz(
+            data[4:], frac, os.path.join(model_dir, f"labels_{tag}.npz"))
+        # Constant optimization budget across fractions (~1000 steps), like
+        # the reference's per-subset epoch tuning (60 epochs at 1% of
+        # ImageNet != 60 at 10%).
+        batch = max(8, min(32, n_sub // 4))
+        steps_per_epoch = max(1, n_sub // batch)
+        epochs = max(1, int(round(1000 * scale / steps_per_epoch)))
+        ft = semisup_finetune_config(
+            f"npz:{sub_npz}", eval_data, pre.model_dir,
+            os.path.join(model_dir, f"finetune_{tag}"), epochs, batch)
+        print(f"[acceptance] phase {2 + i}/{1 + len(fractions)}: fine-tune "
+              f"on {tag} ({n_sub} labeled images, {epochs} epochs, "
+              f"batch {batch})", flush=True)
+        trainer.train(ft)
+        result = trainer.evaluate(ft)
+        top1 = float(result["eval/label_top_1_accuracy"])
+        bar = bars.get(frac, 0.0)
+        results[tag] = {"top_1": top1, "bar": bar, "n_labeled": n_sub,
+                        "pass": top1 >= bar}
+        print(("PASS" if top1 >= bar else "FAIL") +
+              f": digits_semisup {tag} fine-tune top-1 {top1:.4f} vs bar {bar}",
+              flush=True)
+
+    verdict = {"recipe": "digits_semisup", "results": results,
+               "pass": all(r["pass"] for r in results.values())}
+    with open(os.path.join(model_dir, "acceptance.json"), "w") as f:
+        json.dump(verdict, f, indent=2)
+    print(json.dumps(verdict), flush=True)
+    return verdict
 
 
 def run(recipe, data, eval_data, data_dir, model_dir, scale=1.0, bar=None):
@@ -200,7 +315,8 @@ def make_digits_npz(dirname, test_fraction=0.2, size=32):
 def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--recipe", default="cifar10",
-                    choices=["cifar10", "imagenet", "digits"])
+                    choices=["cifar10", "imagenet", "digits",
+                             "digits_semisup"])
     ap.add_argument("--data", help="TFDS name or npz:/path/train.npz")
     ap.add_argument("--eval_data", default=None,
                     help="npz:/path/test.npz for npz sources")
@@ -218,7 +334,16 @@ def main():
     model_dir = args.model_dir or tempfile.mkdtemp(prefix="simclr_acceptance_")
     os.makedirs(model_dir, exist_ok=True)
 
-    if args.dry_run:
+    if args.dry_run and args.recipe == "digits_semisup":
+        # Plumbing-only: tiny synthetic npz, ~a dozen steps per phase, bars
+        # at 0 — proves the pretrain -> label-subset -> whole-network
+        # fine-tune chain end to end on CPU in minutes.
+        train_npz, test_npz = make_dry_npz(model_dir, n=128)
+        verdict = run_semisup(f"npz:{train_npz}", f"npz:{test_npz}",
+                              model_dir, scale=0.01,
+                              bars={0.01: 0.0, 0.10: 0.0},
+                              fractions=(0.10, 0.25))
+    elif args.dry_run:
         # Sized for the 1-core CI host: 128 images x 5 pretrain epochs
         # (80 steps) + 1 linear epoch.  The earlier 10-epoch/256-image dry
         # run proved the same plumbing but ran ~40 min inside the full
@@ -228,6 +353,15 @@ def main():
         verdict = run("cifar10", f"npz:{train_npz}", f"npz:{test_npz}",
                       None, model_dir, scale=0.005,
                       bar=0.3 if args.bar is None else args.bar)
+    elif args.recipe == "digits_semisup":
+        if args.data:
+            train_npz, test_npz = args.data[4:], args.eval_data[4:]
+        else:
+            # Self-contained like --recipe digits: build the sklearn digits
+            # npz pair (1797 real 8x8 scans).
+            train_npz, test_npz = make_digits_npz(model_dir)
+        verdict = run_semisup(f"npz:{train_npz}", f"npz:{test_npz}",
+                              model_dir, scale=args.scale)
     elif args.recipe == "digits" and not args.data:
         # Self-contained: the digits scans ship with sklearn (no egress
         # needed), so the recipe builds its own npz pair.
