@@ -211,7 +211,11 @@ def make_train_step(config: Config, model, tx: optax.GradientTransformation,
         updates, new_opt_state = tx.update(grads, state.opt_state, state.params)
         new_params = optax.apply_updates(state.params, updates)
         metrics["learning_rate"] = lr_fn(state.step)
-        metrics[VIEW_SUMMARY_KEY] = _view_summary(images, pretrain)
+        if config.train_summary_steps > 0:
+            # Summaries disabled (the flagship recipes set 0, run.py:82-84)
+            # must not pay for the slice: under GSPMD it compiles to a real
+            # per-step image all-gather + permutes on the batch axis.
+            metrics[VIEW_SUMMARY_KEY] = _view_summary(images, pretrain)
 
         new_state = state.replace(
             step=state.step + 1,
@@ -316,11 +320,13 @@ def make_shard_map_train_step(config: Config, model, tx: optax.GradientTransform
         # (with --global_bn the stats are already equal; pmean is a no-op).
         new_batch_stats = jax.lax.pmean(new_batch_stats, "data")
         metrics = jax.lax.pmean(metrics, "data")
-        # Augmented-view summary must bypass the metric pmean: take replica
-        # 0's slice and replicate it (zero elsewhere + psum).
-        view = _view_summary(images, pretrain)
-        view = jnp.where(jax.lax.axis_index("data") == 0, view, 0.0)
-        metrics[VIEW_SUMMARY_KEY] = jax.lax.psum(view, "data")
+        if config.train_summary_steps > 0:
+            # Augmented-view summary must bypass the metric pmean: take
+            # replica 0's slice and replicate it (zero elsewhere + psum).
+            # Gated like the GSPMD path: summaries off = no image collective.
+            view = _view_summary(images, pretrain)
+            view = jnp.where(jax.lax.axis_index("data") == 0, view, 0.0)
+            metrics[VIEW_SUMMARY_KEY] = jax.lax.psum(view, "data")
 
         updates, new_opt_state = tx.update(grads, state.opt_state, state.params)
         new_params = optax.apply_updates(state.params, updates)
