@@ -114,7 +114,7 @@ class Config:
     device_augment: bool = _field(True, "Run the augmentation stack on device (batched, default) or, when false, on the host CPU inside the prefetch thread (the reference's tf.data architecture; same draws, see data/host_augment.py). Host mode requires the GSPMD path (not --use_shard_map).")
     host_crop_full_res: bool = _field(True, "For streaming (tfds) train sources: sample + resample the distorted crop on host at ORIGINAL image resolution (reference data_util.py:252-325 pixel fidelity; device applies flip/color/blur only). When false, the device samples crops from the <=256px letterboxed canvas — cheaper on host, ~6x less source detail for large photos.")
     input_pipeline: str = _field("python", "Host batching backend for array/npz/synthetic sources: python | native (C++ threaded) | grain.")
-    use_fused_ntxent: str = _field("auto", "Streaming Pallas NT-Xent (fwd+bwd+metrics; no (2N)^2 logits in HBM). Wins >=1.5x at 2N>=8192 and is ~13x closer to the f64 gradient than the dense XLA path; breakeven below that. 'auto' (default) enables it exactly where it wins: global 2N >= 8192. Runs on every path — single chip, shard_map, and multi-device GSPMD (via a shard_map island over the mesh batch axes). true/false force it.")
+    use_fused_ntxent: str = _field("auto", "Streaming Pallas NT-Xent (fwd+bwd+metrics; no (2N)^2 logits in HBM); ~13x closer to the f64 gradient than the dense XLA path. 'auto' (default) enables it exactly where the measured ladder says it wins: when the per-device island tile (2N/n_devices x 2N) reaches ~16M logits (1.16-2.22x there; parity below — tools/exp_ntxent_island.py). Runs on every path — single chip, shard_map, and multi-device GSPMD (via a shard_map island over the mesh batch axes). true/false force it.")
     use_shard_map: bool = _field(False, "Explicit-SPMD train step via shard_map (required for per-replica BN, i.e. global_bn=False, on multi-device).")
     fused_bn: bool = _field(True, "Fused-VJP batch norm (one reduction pass fwd, one bwd; ops/fused_bn.py). Numerically equivalent to the flax/autodiff path; set false to fall back.")
     remat_until_block: int = _field(0, "Rematerialise (activation-checkpoint) block groups [0, N): recompute their activations in the backward pass instead of storing them. Use 2-4 for big models (R152 3x+SK) or large per-chip batches.")
@@ -196,18 +196,27 @@ def parse_flags(argv: Optional[list] = None) -> Config:
 def resolve_use_fused_ntxent(config: Config, n_devices: int) -> bool:
     """Resolve the tri-state --use_fused_ntxent to a bool for step building.
 
-    'auto' enables the fused kernel exactly where it measured faster
-    (global 2N >= 8192 — the reference's flagship batch-4096 regime).  It
-    is available on every execution path: single device, the shard_map
-    step, and multi-device GSPMD (where the step wraps it in a shard_map
-    island over the mesh batch axes — see
-    ops/ntxent_pallas.py::ntxent_fused_metrics_gspmd).  Explicit
+    'auto' is keyed to the SHARDED tile the kernel actually computes: each
+    device's island sees a (2N/n_devices, 2N) logits block, and the
+    measured ladder (tools/exp_ntxent_island.py, v5e 2026-08-19: fwd+bwd,
+    rows x cols grid) shows the streaming kernel beats the dense row-block
+    math only once that tile reaches ~16M logits — >=1.11x from 16.8M
+    (1.16x at 4096x4096, 1.9x at 4096x8192, 2.22x at 4096x16384) and
+    parity/noise below (0.96-1.04x; one dense win at 1024x8192).  The r2
+    gate used the global batch alone (2N >= 8192), which would enable the
+    kernel at the reference's 32-chip flagship where its per-shard tile is
+    only 256 x 8192 = 2M — a measured-parity regime.  Available on every
+    execution path: single device, the shard_map step, and multi-device
+    GSPMD via the shard_map island
+    (ops/ntxent_pallas.py::ntxent_fused_metrics_gspmd).  Explicit
     true/false force the choice.
     """
     v = config.use_fused_ntxent
     if isinstance(v, str):
         if v.lower() == "auto":
-            return 2 * config.train_batch_size >= 8192
+            rows_global = 2 * config.train_batch_size
+            rows_local = rows_global // max(1, n_devices)
+            return rows_local * rows_global >= 1 << 24
         v = _str2bool(v)
     return bool(v)
 

@@ -243,19 +243,28 @@ def test_steps_per_loop_memory_budget():
 
 
 def test_resolve_use_fused_ntxent_auto():
-    """'auto' enables the fused NT-Xent exactly where it measured faster
-    (global 2N >= 8192) on every path — since round 3 the GSPMD step wraps
-    the kernel in a shard_map island, so multi-device no longer backs off;
-    explicit strings and bools pass through (VERDICT r2 #1)."""
+    """'auto' is keyed to the SHARDED island tile (VERDICT r4 #6): the
+    kernel wins only once the per-device (2N/n_dev, 2N) logits block
+    reaches ~16M elements (tools/exp_ntxent_island.py ladder, v5e
+    2026-08-19); explicit strings and bools pass through."""
     from simclr_tpu.config import Config, resolve_use_fused_ntxent
 
     big = Config(train_batch_size=4096)          # 2N = 8192
-    small = Config(train_batch_size=2048)        # 2N = 4096 (breakeven below)
+    small = Config(train_batch_size=1024)        # 2N = 2048
+    # single chip: full square tile — 8192^2 = 67M on, 2048^2 = 4M off
     assert resolve_use_fused_ntxent(big, 1) is True
     assert resolve_use_fused_ntxent(small, 1) is False
-    # multi-device GSPMD now runs the kernel through the shard_map island
-    assert resolve_use_fused_ntxent(big, 8) is True
-    assert resolve_use_fused_ntxent(big.replace(use_shard_map=True), 8) is True
+    # 2N = 4096 single chip: 4096^2 = 16.8M — newly ON (measured 1.16x)
+    assert resolve_use_fused_ntxent(Config(train_batch_size=2048), 1) is True
+    # flagship sharding (batch 4096 over 32 chips): per-shard tile is
+    # 256 x 8192 = 2M — measured parity, gate backs off
+    assert resolve_use_fused_ntxent(big, 32) is False
+    # 8 chips: 1024 x 8192 = 8.4M — the one measured dense WIN, off
+    assert resolve_use_fused_ntxent(big, 8) is False
+    # 4 chips: 2048 x 8192 = 16.8M — 1.11x, on
+    assert resolve_use_fused_ntxent(big, 4) is True
+    assert resolve_use_fused_ntxent(
+        big.replace(use_shard_map=True), 4) is True
     # explicit values win
     assert resolve_use_fused_ntxent(
         small.replace(use_fused_ntxent="true"), 1) is True
