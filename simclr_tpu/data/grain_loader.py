@@ -29,7 +29,7 @@ on eval) like every other loader in data/loader.py.
 from __future__ import annotations
 
 import json
-from typing import Iterator, Optional, Sequence
+from typing import Iterator, Optional
 
 import numpy as np
 

@@ -47,13 +47,22 @@ def _load_library():
         if _lib is not None:
             return _lib
         def build():
+            # Compile to a per-process temp path, then atomically rename:
+            # concurrent processes (multi-host tests spawn several) must
+            # never observe a half-written .so.
+            tmp = f"{_LIB}.{os.getpid()}.tmp"
             try:
                 subprocess.run(
                     ["g++", "-O3", "-std=c++17", "-shared", "-fPIC", "-pthread",
-                     _SRC, "-o", _LIB],
+                     _SRC, "-o", tmp],
                     check=True, capture_output=True,
                 )
+                os.replace(tmp, _LIB)
             except (OSError, subprocess.CalledProcessError) as e:
+                try:
+                    os.unlink(tmp)
+                except OSError:
+                    pass
                 raise NativePipelineUnavailable(f"cannot build native pipeline: {e}")
 
         if not os.path.exists(_LIB) or os.path.getmtime(_LIB) < os.path.getmtime(_SRC):

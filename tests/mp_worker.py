@@ -72,6 +72,18 @@ def main():
     result2 = trainer.evaluate(cfg2)
     print(f"RAGGEDTOP1 {result2['eval/label_top_1_accuracy']:.8f}", flush=True)
 
+    # Backend parity (VERDICT r4 #2): the SAME ragged eval through the grain
+    # and native-C++ pipelines must produce the identical metric — their
+    # shard layouts differ from the python loader's (contiguous ceil-split
+    # vs per-batch slices) but the global index masks make the sums exact,
+    # and correct-prediction counts are integers, so equality is bitwise.
+    for backend in ("grain", "native"):
+        cfgb = cfg2.replace(input_pipeline=backend,
+                            model_dir=model_dir + f"_{backend}{pid}")
+        resultb = trainer.evaluate(cfgb)
+        print(f"BACKENDTOP1_{backend} "
+              f"{resultb['eval/label_top_1_accuracy']:.8f}", flush=True)
+
     # PreemptionGuard.sync (ADVICE r3): SIGTERM can land on different sides
     # of each process's loop-boundary check, so the flag must be all-reduced
     # — when only THIS process 0 has the signal, BOTH must agree "preempted"

@@ -28,7 +28,6 @@ import re
 
 import jax
 import numpy as np
-import pytest
 
 from simclr_tpu.config import Config
 from simclr_tpu.optim.builder import masked, trainable_mask

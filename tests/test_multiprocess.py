@@ -134,3 +134,10 @@ def test_two_process_training_matches_single_process(tmp_path):
     # process_count>1 must raise, not silently misattribute rows.
     for out in outs:
         assert "EVALRAISE ok" in out, f"worker output:\n{out[-2000:]}"
+
+    # Backend parity (VERDICT r4 #2): grain and native pipelines reproduce
+    # the python loader's ragged 2-process eval metric bitwise.
+    for backend in ("grain", "native"):
+        vals = [float(re.search(rf"BACKENDTOP1_{backend} ([0-9.]+)", o).group(1))
+                for o in outs]
+        assert vals[0] == vals[1] == ragged[0], (backend, vals, ragged[0])

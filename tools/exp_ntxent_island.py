@@ -18,7 +18,6 @@ Prints one JSON line per (rows, cols) cell: dense ms, fused ms, ratio.
 """
 
 import argparse
-import functools
 import json
 import os
 import sys
