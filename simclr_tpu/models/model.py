@@ -56,10 +56,13 @@ class SimCLRModel(nn.Module):
     # implementation of models traced afterwards (ADVICE r2).
     fused_bn: Optional[bool] = None
     dtype: Any = jnp.float32
+    # FSDP activation re-anchoring hook (see ResNet.act_constraint).
+    act_constraint: Any = None
 
     @classmethod
     def from_config(cls, config: Config, num_classes: int,
-                    axis_name: Optional[str] = None, bn_stat_groups: int = 1):
+                    axis_name: Optional[str] = None, bn_stat_groups: int = 1,
+                    act_constraint=None):
         # axis_name reaches the BatchNorm layers: inside shard_map/pmap it
         # turns on cross-replica statistics (--global_bn). Under GSPMD
         # (axis_name=None) statistics are global automatically; with
@@ -88,6 +91,7 @@ class SimCLRModel(nn.Module):
             axis_name=axis_name,
             bn_stat_groups=bn_stat_groups,
             fused_bn=config.fused_bn,
+            act_constraint=act_constraint,
             dtype=jnp.bfloat16 if config.compute_dtype == "bfloat16" else jnp.float32,
         )
 
@@ -111,6 +115,7 @@ class SimCLRModel(nn.Module):
             fine_tune_after_block=self.fine_tune_after_block,
             remat_until_block=self.remat_until_block,
             fused_bn=self.fused_bn,
+            act_constraint=self.act_constraint,
             dtype=self.dtype,
             name="resnet",
         )(images, train)

@@ -134,9 +134,17 @@ def replicated_sharding(mesh: Mesh) -> NamedSharding:
 
 def fsdp_spec(leaf, axis_size: int) -> P:
     """PartitionSpec for one param under FSDP: shard the largest dim that
-    divides the data-axis size; replicate otherwise."""
+    divides the data-axis size; replicate otherwise.
+
+    1-D params (BN scale/offset/moving stats, biases) are NEVER sharded:
+    their memory is trivial (C floats), and sharding a channel vector makes
+    GSPMD propagate CHANNEL sharding onto every (B,H,W,C) activation it
+    touches — measured at R50/224² on the 8-device mesh as 86 partial-sum
+    all-reduces of up to 51 MB activations per step before this rule
+    (tests/test_hlo_collectives.py::test_fsdp_flagship_scale...).  FSDP's
+    savings live in the matrices."""
     shape = getattr(leaf, "shape", ())
-    if not shape or max(shape) < 1024:  # small params aren't worth sharding
+    if len(shape) < 2 or max(shape) < 1024:
         return P()
     dims = sorted(range(len(shape)), key=lambda i: -shape[i])
     for d in dims:
@@ -166,7 +174,9 @@ def param_spec(leaf, mesh: Mesh, fsdp: bool = False) -> P:
         m = mesh.shape[MODEL_AXIS]
         if shape[-1] % m == 0 and shape[-1] >= m and int(np.prod(shape)) >= 65536:
             spec[-1] = MODEL_AXIS
-    if fsdp and shape and max(shape) >= 1024:
+    if fsdp and len(shape) >= 2 and max(shape) >= 1024:
+        # >= 2-D only: sharding 1-D channel vectors (BN params) cascades
+        # channel sharding onto activations — see fsdp_spec.
         axis_size = mesh.shape[DATA_AXIS]
         for d in sorted(range(len(shape)), key=lambda i: -shape[i]):
             if (spec[d] is None and shape[d] % axis_size == 0

@@ -47,8 +47,24 @@ def build_model_and_optimizer(config: Config, num_examples: int, num_classes: in
     bn_stat_groups = 1
     if mesh is not None and not config.global_bn and not config.use_shard_map:
         bn_stat_groups = mesh_lib.num_batch_shards(mesh)
+    act_constraint = None
+    if config.fsdp and mesh is not None and not config.use_shard_map:
+        # FSDP anchoring: pin block-boundary activations to batch sharding
+        # so the partitioner keeps every conv batch-parallel and moves
+        # PARAMETERS (ZeRO all-gather/reduce per layer) instead of
+        # activations — see models/resnet.py::ResNet.act_constraint and
+        # tests/test_hlo_collectives.py's FSDP scale guard.
+        spec = [mesh_lib.batch_axes(mesh)]
+        if mesh_lib.SPATIAL_AXIS in mesh.axis_names:
+            spec.append(mesh_lib.SPATIAL_AXIS)
+        sharding = NamedSharding(mesh, P(*spec))
+
+        def act_constraint(x):
+            return jax.lax.with_sharding_constraint(x, sharding)
+
     model = SimCLRModel.from_config(config, num_classes, axis_name=axis_name,
-                                    bn_stat_groups=bn_stat_groups)
+                                    bn_stat_groups=bn_stat_groups,
+                                    act_constraint=act_constraint)
     lr_fn = warmup_cosine_schedule(config, num_examples)
     tx = build_optimizer(config, lr_fn)
     return model, tx, lr_fn
@@ -345,7 +361,8 @@ def evaluate(config: Config, state: Optional[TrainState] = None,
     compilation_cache.maybe_enable(config)
     mesh = mesh_lib.create_mesh(config)
     ds, info = build_dataset(config, is_training=False)
-    model, tx, lr_fn = build_model_and_optimizer(config, max(info.num_train_examples, 1), info.num_classes)
+    model, tx, lr_fn = build_model_and_optimizer(
+        config, max(info.num_train_examples, 1), info.num_classes, mesh=mesh)
 
     if state is None:
         state = init_state(config, model, tx, mesh, info.image_shape)

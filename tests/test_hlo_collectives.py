@@ -28,6 +28,7 @@ import re
 
 import jax
 import numpy as np
+import pytest
 
 from simclr_tpu.config import Config
 from simclr_tpu.optim.builder import masked, trainable_mask
@@ -189,6 +190,35 @@ def test_fsdp_has_grad_reduction_and_bounded_param_gathers():
         for shape in shapes:
             n_elem = int(np.prod(shape)) if shape else 1
             assert n_elem <= budget, (op, shape, budget)
+
+
+@pytest.mark.slow
+def test_fsdp_flagship_scale_moves_params_not_activations():
+    """R50 at the flagship 224² shape under FSDP: every collective must be
+    no larger than the largest single parameter (the ZeRO unit of
+    communication) — activations stay put.
+
+    This is the scale guard that caught the real bug: without the
+    block-boundary activation anchoring (trainer.build_model_and_optimizer
+    -> ResNet.act_constraint), GSPMD's solver drifted into partial-sum conv
+    partitionings — 86 activation all-reduces of up to 51 MB per step,
+    gigabytes of traffic versus ~100 MB of parameters.  Toy shapes
+    (test_fsdp_has_grad_reduction...) cannot see this: the drift is
+    cost-model- and scale-dependent."""
+    config = Config(**BASE).replace(
+        image_size=224, resnet_depth=50, train_batch_size=64,
+        compute_dtype="bfloat16", fsdp=True, remat_until_block=2)
+    hlo, config, state = compile_step(config)
+    inv = collective_inventory(hlo)
+    p_max = max(int(np.prod(p.shape))
+                for p in jax.tree_util.tree_leaves(state.params))
+    oversized = [(op, s) for op, shapes in inv for s in shapes
+                 if int(np.prod(s)) > p_max]
+    assert not oversized, (
+        f"collectives larger than the largest parameter ({p_max} elems) "
+        f"in the FSDP flagship program: {oversized[:5]}")
+    assert any(op == "all-reduce" for op, _ in inv)  # grad reduction
+    assert any(op == "all-gather" for op, _ in inv)  # ZeRO param gathers
 
 
 def test_tensor_parallel_confines_rank4_traffic_to_model_axis():
