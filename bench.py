@@ -202,10 +202,10 @@ def main():
                   f"{args.train_mode}_images_per_sec_per_chip",
         "value": round(per_chip, 2),
         "unit": "images/sec/chip",
-        # The 185 img/s baseline is the R50-1x pretrain rate; other model
-        # rows have no published reference throughput.
+        # The 185 img/s baseline is the R50-1x PRETRAIN rate; other model
+        # rows (and the finetune mode) have no published reference number.
         "vs_baseline": (round(per_chip / BASELINE_IMAGES_PER_SEC_PER_CHIP, 3)
-                        if default_row else None),
+                        if default_row and pretrain else None),
         "per_chip_batch": per_chip_batch,
     }
     result.update(derived_metrics(step_compiled, dt, steps, n_chips))
