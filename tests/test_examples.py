@@ -144,6 +144,36 @@ def test_semisup_acceptance_smoke(tmp_path):
 
 
 @pytest.mark.slow
+def test_distill_acceptance_smoke(tmp_path):
+    """The distillation acceptance (reference C19,
+    tf2/colabs/distillation_self_training.ipynb) executes its full
+    four-phase chain — pretrain -> 25%-label teacher fine-tune -> KD
+    self-training of the small student on the UNLABELED images via the
+    exported serving bundle's logits_sup -> student eval — in-process at
+    minuscule scale.  Plumbing assertion (bar 0); the real learning result
+    on digits is recorded in docs/PARITY.md."""
+    sys.path.insert(0, os.path.join(_REPO, "tools"))
+    try:
+        import real_data_acceptance as acc
+    finally:
+        sys.path.pop(0)
+
+    train_npz, test_npz = acc.make_dry_npz(str(tmp_path), n=64)
+    verdict = acc.run_distill(
+        f"npz:{train_npz}", f"npz:{test_npz}", str(tmp_path),
+        scale=0.004, bar=0.0, label_fraction=0.25,
+        distill_steps=6000, distill_batch=16)
+    assert verdict["pass"]
+    assert 0.0 <= verdict["student_top_1"] <= 1.0
+    assert verdict["n_labeled"] >= 4  # >=1 per class
+    import json as _json
+
+    saved = _json.loads(open(tmp_path / "acceptance.json").read())
+    assert saved["recipe"] == "digits_distill"
+    assert "teacher_top_1" in saved
+
+
+@pytest.mark.slow
 def test_export_tf_checkpoint_tool(tmp_path):
     """Train 2 tiny steps via the CLI, export the run as a TF2-named TF
     checkpoint with tools/export_tf_checkpoint.py, and re-import it through

@@ -181,6 +181,131 @@ def semisup_finetune_config(data, eval_data, checkpoint_dir, model_dir,
 # training noise does not.  Recorded in docs/PARITY.md.
 SEMISUP_BARS = {0.01: 0.70, 0.10: 0.85}
 
+# First-run calibration (TPU v5e-lite, 2026-08-19, unattended): student
+# top-1 0.9721 — ABOVE its 0.9331 teacher (10% labels, chance 0.1), the
+# SimCLRv2 self-training effect: KD on unlabeled data beats the teacher's
+# own label-limited fine-tune.  Bar sits a few points under the observed
+# number, like SEMISUP_BARS.  Recorded in docs/PARITY.md.
+DISTILL_BAR = 0.93
+
+
+def run_distill(data, eval_data, model_dir, scale=1.0, bar=None,
+                label_fraction=0.10, student_upsample=3,
+                distill_steps=2000, distill_batch=64):
+    """Distillation / self-training acceptance (reference C19,
+    tf2/colabs/distillation_self_training.ipynb): pretrain on ALL images,
+    fine-tune a teacher on ``label_fraction`` of labels (the SimCLRv2
+    semi-supervised story, README.md:157-167), then distill the teacher
+    into the notebook's small StudentConvNet with the temperature-scaled KD
+    loss on the UNLABELED training images (cell 8: no ground-truth labels
+    reach the student), and check the student's test top-1 against the bar.
+
+    The student sees ``student_upsample``× nearest-upsampled images (the
+    notebook's ConvNet has VALID 3x3 convs + two 4x4 pools sized for
+    larger-than-32px inputs); the teacher consumes the exact original
+    pixels via stride subsampling, so no information is invented."""
+    import numpy as np
+
+    import jax
+    import jax.numpy as jnp
+
+    from simclr_tpu.distill import (StudentConvNet, default_student_optimizer,
+                                    make_distill_step)
+    from simclr_tpu.export import EXPORT_DIR, load_serving
+    from simclr_tpu.training import trainer
+
+    assert data.startswith("npz:") and eval_data.startswith("npz:"), (
+        "distill acceptance needs npz train/test sources")
+    bar = DISTILL_BAR if bar is None else bar
+
+    pre, _, _ = recipe_configs("digits", data, eval_data, None, model_dir,
+                               scale)
+    print(f"[acceptance] phase 1/4: pretrain ({pre.train_epochs} epochs, "
+          f"batch {pre.train_batch_size})", flush=True)
+    trainer.train(pre)
+
+    tag = f"{int(round(label_fraction * 100))}pct"
+    sub_npz, n_sub = make_label_fraction_npz(
+        data[4:], label_fraction, os.path.join(model_dir, f"labels_{tag}.npz"))
+    batch = max(8, min(32, n_sub // 4))
+    steps_per_epoch = max(1, n_sub // batch)
+    epochs = max(1, int(round(1000 * scale / steps_per_epoch)))
+    ft = semisup_finetune_config(
+        f"npz:{sub_npz}", eval_data, pre.model_dir,
+        os.path.join(model_dir, f"teacher_{tag}"), epochs, batch)
+    print(f"[acceptance] phase 2/4: teacher fine-tune on {tag} "
+          f"({n_sub} labeled images, {epochs} epochs)", flush=True)
+    trainer.train(ft)
+    teacher_eval = trainer.evaluate(ft)  # also exports the serving bundle
+    teacher_top1 = float(teacher_eval["eval/label_top_1_accuracy"])
+
+    # Teacher = the serving artifact, exactly like the notebook (cell 10
+    # loads the finetuned SavedModel and reads logits_sup).
+    base = os.path.join(ft.model_dir, EXPORT_DIR)
+    step_dir = str(max(int(d) for d in os.listdir(base) if d.isdigit()))
+    serve = load_serving(os.path.join(base, step_dir))
+    up = student_upsample
+
+    def teacher_fn(images):
+        return serve(images[:, ::up, ::up, :])["logits_sup"]
+
+    train_arrs = np.load(data[4:])
+    images_u8 = np.kron(train_arrs["images"],
+                        np.ones((1, up, up, 1), np.uint8))
+    num_classes = int(train_arrs["labels"].max()) + 1
+
+    distill_steps = max(20, int(round(distill_steps * scale)))
+    student = StudentConvNet(num_classes=num_classes)
+    sample = jnp.zeros((2,) + images_u8.shape[1:], jnp.float32)
+    variables = student.init(jax.random.PRNGKey(1), sample, train=False)
+    params, batch_stats = variables["params"], variables["batch_stats"]
+    # Notebook recipe lr 2.0 is calibrated for batch 512; sqrt-scale down.
+    lr = 2.0 * float(np.sqrt(distill_batch / 512.0))
+    tx = default_student_optimizer(distill_steps, learning_rate=lr)
+    opt_state = tx.init(params)
+    step = jax.jit(make_distill_step(student, teacher_fn, tx, temperature=1.0))
+
+    print(f"[acceptance] phase 3/4: distill ({distill_steps} steps, batch "
+          f"{distill_batch}, {len(images_u8)} unlabeled images)", flush=True)
+    rng = np.random.RandomState(0)
+    order = rng.permutation(len(images_u8))
+    cursor = 0
+    for i in range(distill_steps):
+        if cursor + distill_batch > len(order):
+            order = rng.permutation(len(images_u8))
+            cursor = 0
+        idx = order[cursor:cursor + distill_batch]
+        cursor += distill_batch
+        images = jnp.asarray(images_u8[idx], jnp.float32) / 255.0
+        params, batch_stats, opt_state, loss = step(
+            params, batch_stats, opt_state, images)
+        if i % max(1, distill_steps // 10) == 0:
+            print(f"  distill step {i}: kd_loss={float(loss):.4f}", flush=True)
+
+    print("[acceptance] phase 4/4: student eval", flush=True)
+    test_arrs = np.load(eval_data[4:])
+    test_u8 = np.kron(test_arrs["images"], np.ones((1, up, up, 1), np.uint8))
+    labels = test_arrs["labels"]
+    infer = jax.jit(lambda im: jnp.argmax(student.apply(
+        {"params": params, "batch_stats": batch_stats}, im, train=False),
+        axis=-1))
+    preds = []
+    for i in range(0, len(test_u8), 256):
+        im = jnp.asarray(test_u8[i:i + 256], jnp.float32) / 255.0
+        preds.append(np.asarray(infer(im)))
+    student_top1 = float(np.mean(np.concatenate(preds) == labels))
+
+    verdict = {"recipe": "digits_distill", "teacher_top_1": teacher_top1,
+               "student_top_1": student_top1, "bar": bar,
+               "n_labeled": n_sub, "pass": student_top1 >= bar}
+    with open(os.path.join(model_dir, "acceptance.json"), "w") as f:
+        json.dump(verdict, f, indent=2)
+    print(json.dumps(verdict), flush=True)
+    print(("PASS" if verdict["pass"] else "FAIL") +
+          f": digits_distill student top-1 {student_top1:.4f} vs bar {bar} "
+          f"(teacher {teacher_top1:.4f})", flush=True)
+    return verdict
+
 
 def run_semisup(data, eval_data, model_dir, scale=1.0, bars=None,
                 fractions=(0.01, 0.10)):
@@ -316,7 +441,7 @@ def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--recipe", default="cifar10",
                     choices=["cifar10", "imagenet", "digits",
-                             "digits_semisup"])
+                             "digits_semisup", "digits_distill"])
     ap.add_argument("--data", help="TFDS name or npz:/path/train.npz")
     ap.add_argument("--eval_data", default=None,
                     help="npz:/path/test.npz for npz sources")
@@ -362,6 +487,13 @@ def main():
             train_npz, test_npz = make_digits_npz(model_dir)
         verdict = run_semisup(f"npz:{train_npz}", f"npz:{test_npz}",
                               model_dir, scale=args.scale)
+    elif args.recipe == "digits_distill":
+        if args.data:
+            train_npz, test_npz = args.data[4:], args.eval_data[4:]
+        else:
+            train_npz, test_npz = make_digits_npz(model_dir)
+        verdict = run_distill(f"npz:{train_npz}", f"npz:{test_npz}",
+                              model_dir, scale=args.scale, bar=args.bar)
     elif args.recipe == "digits" and not args.data:
         # Self-contained: the digits scans ship with sklearn (no egress
         # needed), so the recipe builds its own npz pair.
