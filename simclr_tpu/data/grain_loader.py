@@ -123,6 +123,11 @@ class GrainArrayPipeline:
         if is_training:
             # Training: grain's own sampler sharding (drop_remainder=True is
             # exact — every shard gets floor(n/S) records per epoch).
+            if self.num_examples < shard_count:
+                raise ValueError(
+                    f"grain training needs >= 1 record per shard: "
+                    f"{self.num_examples} examples over {shard_count} "
+                    f"processes")
             self._loader = build_grain_loader(
                 ArraySource(images, labels), self.local_batch, True, seed,
                 worker_count=worker_count, shard_index=shard_index,
@@ -140,12 +145,20 @@ class GrainArrayPipeline:
             per = -(-n // shard_count)
             lo, hi = min(shard_index * per, n), min((shard_index + 1) * per, n)
             self._expected_batches = -(-per // self.local_batch)
-            self._loader = build_grain_loader(
-                ArraySource(images[lo:hi], labels[lo:hi], tag_index=True,
-                            index_offset=lo),
-                self.local_batch, False, seed,
-                worker_count=worker_count, shard_index=0, shard_count=1,
-            )
+            if lo == hi:
+                # Empty shard (ceil-split left this process no records, e.g.
+                # 9 examples over 8 processes leaves shards 5..7 empty).
+                # Grain's IndexSampler REJECTS 0-record sources at
+                # construction, so don't build one — __iter__ emits only the
+                # fully-masked filler batches the collective protocol needs.
+                self._loader = None
+            else:
+                self._loader = build_grain_loader(
+                    ArraySource(images[lo:hi], labels[lo:hi], tag_index=True,
+                                index_offset=lo),
+                    self.local_batch, False, seed,
+                    worker_count=worker_count, shard_index=0, shard_count=1,
+                )
 
     def set_start_step(self, step: int):
         """EXACT resume: continue the sampler sequence from global step
@@ -189,7 +202,7 @@ class GrainArrayPipeline:
         bs = self.local_batch
         n_yielded = 0
         last = None
-        for batch in self._loader:
+        for batch in (self._loader if self._loader is not None else ()):
             image = np.asarray(batch["image"])
             label = np.asarray(batch["label"], np.int32)
             index = np.asarray(batch["index"], np.int32)

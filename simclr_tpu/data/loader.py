@@ -527,11 +527,19 @@ def make_array_pipeline(config: Config, images: np.ndarray, labels: np.ndarray,
                 else:
                     kw = dict(index_offset=lo, num_examples_global=n,
                               expected_batches=-(-per // local_bs))
-                images, labels = images[lo:hi], labels[lo:hi]
-                batch_size = local_bs
+                shard_images, shard_labels = images[lo:hi], labels[lo:hi]
+                shard_bs = local_bs
+            else:
+                shard_images, shard_labels, shard_bs = images, labels, batch_size
             try:
-                return NativeArrayPipeline(images, labels, batch_size,
-                                           is_training, seed=seed, **kw)
+                # NOTE: pass the SLICED arrays + LOCAL batch here only; the
+                # fallback below must see the original globals, because
+                # ArrayDataset shards + localizes internally — handing it the
+                # pre-sliced shard would double-shard (global batch B/n_proc,
+                # eval index tags relative to the slice).
+                return NativeArrayPipeline(shard_images, shard_labels,
+                                           shard_bs, is_training, seed=seed,
+                                           **kw)
             except NativePipelineUnavailable as e:  # no g++ on this host
                 logging.getLogger("simclr_tpu").warning(
                     "native input pipeline unavailable (%s); using python", e)

@@ -62,16 +62,27 @@ def _view_summary(images, pretrain: bool):
     return jnp.clip(view.astype(jnp.float32), 0.0, 1.0)
 
 
-def _resolve_fused(config: Config) -> bool:
+def _resolve_fused(config: Config, mesh=None) -> bool:
     """Tri-state --use_fused_ntxent -> bool.  The trainer passes a resolved
     bool; direct step-builder callers (bench, tests, __graft_entry__) may
-    pass 'auto', which must NOT be treated as truthy."""
+    pass 'auto', which must NOT be treated as truthy.
+
+    The island shards its row block over the BATCH mesh axes only, so the
+    'auto' tile divisor is num_batch_shards(mesh) — mesh.size would
+    under-size the tile on meshes with a model/spatial axis and wrongly
+    disable the kernel in its measured-win regime."""
     v = config.use_fused_ntxent
     if isinstance(v, bool):
         return v
     from simclr_tpu.config import resolve_use_fused_ntxent
 
-    return resolve_use_fused_ntxent(config, jax.device_count())
+    if mesh is not None:
+        from simclr_tpu.parallel import mesh as mesh_lib
+
+        n = mesh_lib.num_batch_shards(mesh)
+    else:
+        n = jax.device_count()
+    return resolve_use_fused_ntxent(config, n)
 
 
 def make_train_step(config: Config, model, tx: optax.GradientTransformation,
@@ -106,7 +117,7 @@ def make_train_step(config: Config, model, tx: optax.GradientTransformation,
     """
     pretrain = config.train_mode == "pretrain"
     h = w = config.image_size
-    use_fused_ntxent = _resolve_fused(config)
+    use_fused_ntxent = _resolve_fused(config, mesh)
 
     def train_step(state: TrainState, batch: Dict[str, jnp.ndarray], base_rng):
         rng = jax.random.fold_in(base_rng, state.step)
@@ -249,7 +260,7 @@ def make_shard_map_train_step(config: Config, model, tx: optax.GradientTransform
 
     pretrain = config.train_mode == "pretrain"
     h = w = config.image_size
-    use_fused_ntxent = _resolve_fused(config)
+    use_fused_ntxent = _resolve_fused(config, mesh)
 
     def local_step(state: TrainState, batch, base_rng):
         replica = jax.lax.axis_index("data")

@@ -199,7 +199,10 @@ def train(config: Config) -> TrainState:
             "--spatial_partition and a 'model' mesh axis need the GSPMD "
             "path (the partitioner owns the halo-exchange / tensor-parallel "
             "collectives)")
-    fused_ntxent = resolve_use_fused_ntxent(config, mesh.size)
+    # 'auto' is keyed to the island's per-device row tile, which shards over
+    # the BATCH axes only — a model/spatial axis does not shrink it.
+    fused_ntxent = resolve_use_fused_ntxent(
+        config, mesh_lib.num_batch_shards(mesh))
 
     ds, info = build_dataset(config, is_training=True)
     model, tx, lr_fn = build_model_and_optimizer(

@@ -140,3 +140,39 @@ def test_global_batch_not_divisible_raises(arrays):
     images, labels = arrays
     with pytest.raises(ValueError):
         GrainArrayPipeline(images, labels, 9, True, shard_count=2)
+
+
+def test_eval_empty_shard_yields_fillers_only(arrays):
+    """Ceil-split can leave trailing processes with ZERO records (9 examples
+    over 8 shards: shards 5..7 are empty).  Grain's IndexSampler rejects
+    0-record sources at construction, so the pipeline must not build one —
+    it emits only the fully-masked filler batches every process owes the
+    collective eval protocol."""
+    images, labels = arrays
+    images, labels = images[:9], labels[:9]
+    per_shard = []
+    for shard in range(8):
+        p = GrainArrayPipeline(images, labels, batch_size=8,
+                               is_training=False, seed=0,
+                               shard_index=shard, shard_count=8)
+        batches = list(p)
+        per_shard.append(batches)
+    # every shard joins the same number of collective steps
+    counts = {len(b) for b in per_shard}
+    assert counts == {2}  # per = ceil(9/8) = 2, local_bs = 1
+    # trailing shards are empty -> all rows masked (index == num_examples)
+    for shard in (5, 6, 7):
+        for b in per_shard[shard]:
+            assert (b["index"] == 9).all()
+    # every real example appears exactly once across all shards
+    seen = np.concatenate([b["index"] for bs in per_shard for b in bs])
+    real = seen[seen < 9]
+    np.testing.assert_array_equal(np.sort(real), np.arange(9))
+
+
+def test_train_fewer_records_than_shards_raises(arrays):
+    images, labels = arrays
+    with pytest.raises(ValueError, match="record per shard"):
+        GrainArrayPipeline(images[:3], labels[:3], batch_size=8,
+                           is_training=True, seed=0,
+                           shard_index=0, shard_count=8)

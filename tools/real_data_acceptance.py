@@ -437,6 +437,20 @@ def make_digits_npz(dirname, test_fraction=0.2, size=32):
     return paths["train"], paths["test"]
 
 
+def _require_npz_pair(ap, args):
+    """The semisup/distill recipes need BOTH --data and --eval_data as
+    npz: paths (label-subset filtering + a dedicated held-out test split);
+    validate up front instead of failing later with a confusing np.load
+    error after `args.data[4:]` silently strips a non-npz value."""
+    if not (args.data and args.data.startswith("npz:")):
+        ap.error(f"--recipe {args.recipe} needs --data npz:/path/train.npz "
+                 f"(got {args.data!r})")
+    if not (args.eval_data and args.eval_data.startswith("npz:")):
+        ap.error(f"--recipe {args.recipe} needs --eval_data "
+                 f"npz:/path/test.npz (got {args.eval_data!r})")
+    return args.data[4:], args.eval_data[4:]
+
+
 def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--recipe", default="cifar10",
@@ -480,7 +494,7 @@ def main():
                       bar=0.3 if args.bar is None else args.bar)
     elif args.recipe == "digits_semisup":
         if args.data:
-            train_npz, test_npz = args.data[4:], args.eval_data[4:]
+            train_npz, test_npz = _require_npz_pair(ap, args)
         else:
             # Self-contained like --recipe digits: build the sklearn digits
             # npz pair (1797 real 8x8 scans).
@@ -489,7 +503,7 @@ def main():
                               model_dir, scale=args.scale)
     elif args.recipe == "digits_distill":
         if args.data:
-            train_npz, test_npz = args.data[4:], args.eval_data[4:]
+            train_npz, test_npz = _require_npz_pair(ap, args)
         else:
             train_npz, test_npz = make_digits_npz(model_dir)
         verdict = run_distill(f"npz:{train_npz}", f"npz:{test_npz}",
