@@ -196,6 +196,10 @@ def parse_flags(argv: Optional[list] = None) -> Config:
 def resolve_use_fused_ntxent(config: Config, n_devices: int) -> bool:
     """Resolve the tri-state --use_fused_ntxent to a bool for step building.
 
+    ``n_devices`` is the number of BATCH shards (parallel.mesh
+    num_batch_shards) — the island shards its rows over the batch axes
+    only, so a model/spatial mesh axis does not shrink the tile.
+
     'auto' is keyed to the SHARDED tile the kernel actually computes: each
     device's island sees a (2N/n_devices, 2N) logits block, and the
     measured ladder (tools/exp_ntxent_island.py, v5e 2026-08-19: fwd+bwd,

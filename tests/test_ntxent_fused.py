@@ -186,20 +186,29 @@ def test_fused_shard_map_matches_dense(force_interpret):
                                rtol=1e-4, atol=1e-6)
 
 
-@pytest.mark.parametrize("mesh_axes", [("data",), ("dcn", "data")])
+@pytest.mark.parametrize("mesh_axes", [("data",), ("dcn", "data"),
+                                       ("data", "model"),
+                                       ("data", "spatial")])
 def test_fused_gspmd_island_matches_dense(force_interpret, mesh_axes):
     """ntxent_fused_metrics_gspmd: the shard_map island inside the GSPMD
     path — global (2N, D) embeddings batch-sharded over the mesh, kernel on
     per-device tiles — must reproduce the dense single-shard loss, metrics
-    AND gradient (VERDICT r2 #1).  Covers both the flat 'data' mesh and the
-    hybrid ('dcn', 'data') multi-slice mesh (tuple axis collectives)."""
+    AND gradient (VERDICT r2 #1).  Covers the flat 'data' mesh, the hybrid
+    ('dcn', 'data') multi-slice mesh (tuple axis collectives), and meshes
+    with a non-batch 'model'/'spatial' axis — the island shards over the
+    batch axes only and must stay replicated over the rest (the r5 'auto'
+    gate can enable the kernel on exactly these meshes)."""
     from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
     from simclr_tpu.ops.ntxent_pallas import ntxent_fused_metrics_gspmd
 
     n_dev = 8
-    devices = np.array(jax.devices()[:n_dev]).reshape(
-        (2, 4) if len(mesh_axes) == 2 else (n_dev,))
+    if mesh_axes == ("data",):
+        devices = np.array(jax.devices()[:n_dev])
+    elif mesh_axes == ("dcn", "data"):
+        devices = np.array(jax.devices()[:n_dev]).reshape(2, 4)
+    else:  # ('data', 'model') / ('data', 'spatial'): 4 batch shards
+        devices = np.array(jax.devices()[:n_dev]).reshape(4, 2)
     mesh = Mesh(devices, mesh_axes)
     T = 0.3
     hidden = jax.random.normal(jax.random.PRNGKey(8), (2 * 2 * n_dev, 16))
@@ -212,7 +221,9 @@ def test_fused_gspmd_island_matches_dense(force_interpret, mesh_axes):
     (ref_loss, (ref_acc, ref_ent)), ref_grad = jax.value_and_grad(
         dense, has_aux=True)(hidden)
 
-    batch_spec = P(mesh_axes if len(mesh_axes) > 1 else mesh_axes[0])
+    from simclr_tpu.parallel import mesh as mesh_lib
+
+    batch_spec = P(mesh_lib.batch_axes(mesh))  # 'model'/'spatial' not batch
     h_sharded = jax.device_put(hidden, NamedSharding(mesh, batch_spec))
 
     def fused(h):

@@ -104,3 +104,21 @@ def test_acceptance_recipes_validate_npz_args():
                 assert e.value.code == 2  # argparse error, not a traceback
             finally:
                 sys.argv = old
+
+
+def test_fused_ntxent_step_on_tensor_parallel_mesh():
+    """Full GSPMD train step with --use_fused_ntxent=true on a 4x2
+    data-x-model mesh: the composition the corrected 'auto' gate can now
+    enable at flagship scale.  Loss must match the dense objective on the
+    same mesh (the island stays batch-sharded, replicated over 'model')."""
+    import jax
+
+    from test_spatial_tp import _config, _run_one_step
+
+    dense = _run_one_step(_config(mesh_shape="4,2", use_fused_ntxent=False))
+    fused = _run_one_step(_config(mesh_shape="4,2", use_fused_ntxent=True))
+    assert fused[0].axis_names == ("data", "model")
+    np.testing.assert_allclose(fused[3]["train/contrast_loss"],
+                               dense[3]["train/contrast_loss"], rtol=1e-4)
+    np.testing.assert_allclose(fused[3]["train/total_loss"],
+                               dense[3]["train/total_loss"], rtol=1e-4)
